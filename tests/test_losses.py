@@ -1,0 +1,129 @@
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vcr_gaus_tpu.train import losses as L
+
+
+def test_basic_losses():
+    a = jnp.asarray(np.random.default_rng(0).normal(size=(3, 8, 8)))
+    assert float(L.l1_loss(a, a)) == 0
+    assert float(L.l2_loss(a, a)) == 0
+    assert float(L.log_l1_loss(a, a)) == 0
+    assert float(L.l1_loss(a, a + 1)) == pytest.approx(1.0)
+
+
+def test_entropy():
+    op = jnp.full((10,), 0.5)
+    assert float(L.entropy_loss(op)) == pytest.approx(np.log(2), rel=1e-4)
+    # confident opacities have low entropy
+    assert float(L.entropy_loss(jnp.full((10,), 0.999))) < 0.01
+    # masked variant averages over the mask only
+    op = jnp.array([0.5, 0.999])
+    m = jnp.array([True, False])
+    assert float(L.entropy_loss(op, m)) == pytest.approx(np.log(2), rel=1e-4)
+
+
+def test_ssim_identity_and_noise():
+    rng = np.random.default_rng(1)
+    img = jnp.asarray(rng.uniform(0, 1, (3, 32, 32)).astype(np.float32))
+    assert float(L.ssim(img, img)) == pytest.approx(1.0, abs=1e-5)
+    noisy = img + jnp.asarray(rng.normal(0, 0.2, img.shape).astype(np.float32))
+    s = float(L.ssim(img, noisy))
+    assert 0 < s < 0.9
+
+
+def test_ssim_matches_torch_conv():
+    # cross-check the gaussian blur against torch's conv2d on random data
+    import torch
+    import torch.nn.functional as F
+    rng = np.random.default_rng(2)
+    img1 = rng.uniform(0, 1, (3, 24, 24)).astype(np.float32)
+    img2 = rng.uniform(0, 1, (3, 24, 24)).astype(np.float32)
+    ours = float(L.ssim(jnp.asarray(img1), jnp.asarray(img2)))
+
+    x = np.arange(11) - 5
+    g = np.exp(-(x ** 2) / (2 * 1.5 ** 2)); g /= g.sum()
+    w = torch.tensor(np.outer(g, g).astype(np.float32))[None, None].repeat(3, 1, 1, 1)
+    t1, t2 = torch.tensor(img1)[None], torch.tensor(img2)[None]
+    blur = lambda x: F.conv2d(x, w, padding=5, groups=3)
+    mu1, mu2 = blur(t1), blur(t2)
+    s1 = blur(t1 * t1) - mu1 ** 2
+    s2 = blur(t2 * t2) - mu2 ** 2
+    s12 = blur(t1 * t2) - mu1 * mu2
+    C1, C2 = 0.01 ** 2, 0.03 ** 2
+    smap = ((2 * mu1 * mu2 + C1) * (2 * s12 + C2)) / (
+        (mu1 ** 2 + mu2 ** 2 + C1) * (s1 + s2 + C2))
+    assert ours == pytest.approx(float(smap.mean()), abs=1e-5)
+
+
+def test_monosdf_normal_loss_zero_for_identical():
+    n = jnp.asarray(np.random.default_rng(3).normal(size=(50, 3)))
+    n = n / jnp.linalg.norm(n, axis=-1, keepdims=True)
+    assert float(L.monosdf_normal_loss(n, n)) == pytest.approx(0.0, abs=1e-6)
+    flipped = -n
+    assert float(L.monosdf_normal_loss(n, flipped)) > 1.0
+
+
+def test_masked_monosdf_empty_mask_is_zero():
+    n = jnp.ones((4, 4, 3)) / np.sqrt(3)
+    m = jnp.zeros((4, 4), bool)
+    assert float(L.masked_monosdf_normal_loss(n, -n, m)) == 0.0
+
+
+def test_cos_weight():
+    n = jnp.array([[0.0, 0, 1]])
+    w = L.cos_weight(n, n, exp_t=0.01)
+    assert float(w[0]) == pytest.approx(1.0)
+    w2 = L.cos_weight(n, jnp.array([[1.0, 0, 0]]), exp_t=0.01)
+    assert float(w2[0]) < 1e-10
+    w3 = L.cos_weight(n, -n, exp_t=0.0)  # disabled -> ones
+    assert float(w3[0]) == 1.0
+
+
+def test_ssi_depth_scale_shift_invariance():
+    rng = np.random.default_rng(4)
+    pred = jnp.asarray(rng.uniform(1, 5, (16, 16)).astype(np.float32))
+    # target*50+0.5 is an affine remap of pred -> perfectly alignable
+    target = (pred * 3.0 + 2.0 - 0.5) / 50.0
+    loss = float(L.scale_and_shift_invariant_depth_loss(pred, target))
+    assert loss == pytest.approx(0.0, abs=1e-4)
+    target_bad = jnp.asarray(rng.uniform(1, 5, (16, 16)).astype(np.float32))
+    assert float(L.scale_and_shift_invariant_depth_loss(pred, target_bad)) > 1
+
+
+def test_normal2curv_flat_field():
+    n = jnp.broadcast_to(jnp.array([0.0, 0, 1]), (8, 8, 3))
+    m = jnp.ones((8, 8, 1))
+    assert float(jnp.abs(L.normal2curv(n, m)).max()) == pytest.approx(0.0)
+
+
+def test_edge_aware_distortion():
+    gt = jnp.ones((3, 8, 8))
+    dist = jnp.ones((8, 8))
+    out = L.edge_aware_distortion_map(gt, dist)
+    assert float(out[0, 0]) == 0.0            # zero border
+    np.testing.assert_allclose(np.asarray(out[1:-1, 1:-1]), 1.0, atol=1e-6)
+    # an intensity edge suppresses the weight
+    gt2 = gt.at[:, :, 4:].set(0.0)
+    out2 = L.edge_aware_distortion_map(gt2, dist)
+    assert float(out2[4, 4]) < 0.5
+
+
+def test_semantic_ce_bounds():
+    labels = jnp.asarray(np.random.default_rng(5).integers(0, 3, (8, 8)))
+    uniform = jnp.zeros((3, 8, 8))
+    assert float(L.semantic_cross_entropy(uniform, labels, 3)) == pytest.approx(1.0, rel=1e-5)
+    perfect = jax_one_hot = jnp.eye(3)[labels].transpose(2, 0, 1) * 100.0
+    assert float(L.semantic_cross_entropy(perfect, labels, 3)) < 1e-6
+
+
+def test_distortion_moments_two_gaussians():
+    # w = [.5, .25], d = [1, 3]: sum_ij wi wj (di-dj)^2 = 2*.5*.25*4 = 1
+    w_sum = jnp.asarray(0.75)
+    wd = jnp.asarray(0.5 * 1 + 0.25 * 3)
+    wd2 = jnp.asarray(0.5 * 1 + 0.25 * 9)
+    assert float(L.distortion_from_moments(w_sum, wd, wd2)) == pytest.approx(1.0)
+    dv = float(L.depth_var_from_moments(w_sum, wd, wd2))
+    mean = (0.5 + 0.75) / 0.75
+    assert dv == pytest.approx((0.5 * 1 + 0.25 * 9) / 0.75 - mean ** 2, rel=1e-4)

@@ -1,0 +1,50 @@
+import numpy as np
+
+from vcr_gaus_tpu.utils.ply import (read_ply, read_points_ply, write_ply,
+                                    write_points_ply)
+
+
+def test_ply_roundtrip_vertex(tmp_path):
+    rng = np.random.default_rng(0)
+    props = {k: rng.normal(size=100).astype(np.float32)
+             for k in ["x", "y", "z", "opacity", "scale_0"]}
+    p = tmp_path / "a.ply"
+    write_ply(str(p), props)
+    back = read_ply(str(p))
+    for k, v in props.items():
+        np.testing.assert_array_equal(back[k], v)
+
+
+def test_points_ply_roundtrip(tmp_path):
+    rng = np.random.default_rng(1)
+    xyz = rng.normal(size=(50, 3)).astype(np.float32)
+    rgb = rng.integers(0, 255, size=(50, 3)).astype(np.uint8)
+    p = tmp_path / "pts.ply"
+    write_points_ply(str(p), xyz, rgb)
+    pts, colors, normals = read_points_ply(str(p))
+    np.testing.assert_allclose(pts, xyz, atol=1e-6)
+    np.testing.assert_allclose(colors * 255, rgb, atol=0.5)
+    np.testing.assert_array_equal(normals, 0)
+
+
+def test_mesh_faces_roundtrip(tmp_path):
+    xyz = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0], [0, 0, 1]], np.float32)
+    faces = np.array([[0, 1, 2], [0, 2, 3]], np.int32)
+    p = tmp_path / "mesh.ply"
+    write_ply(str(p), {"x": xyz[:, 0], "y": xyz[:, 1], "z": xyz[:, 2]},
+              faces=faces)
+    back = read_ply(str(p))
+    np.testing.assert_array_equal(back["__faces__"], faces)
+
+
+def test_ascii_ply(tmp_path):
+    txt = (
+        "ply\nformat ascii 1.0\nelement vertex 2\n"
+        "property float x\nproperty float y\nproperty float z\n"
+        "end_header\n0 1 2\n3 4 5\n"
+    )
+    p = tmp_path / "a.ply"
+    p.write_text(txt)
+    d = read_ply(str(p))
+    np.testing.assert_allclose(d["x"], [0, 3])
+    np.testing.assert_allclose(d["z"], [2, 5])

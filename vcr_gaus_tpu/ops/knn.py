@@ -1,0 +1,218 @@
+"""Neighbor queries: k-NN distances and radius counts, TPU-native.
+
+Replaces the reference's two CUDA neighbor kernels with one module
+(SURVEY.md §2.3 #2/#3):
+  * simple-knn's ``distCUDA2`` (mean squared distance to the 3 nearest
+    neighbors, used once for scale init — scene/gaussian_model.py:211),
+  * pytorch3d's ``knn_points`` / ``ball_query`` (radius-outlier removal,
+    tools/denoise_pcd.py:4-27).
+
+Design: sort points along a Morton (Z-order) curve, then search a fixed
+window of +-W sorted neighbors — the same spatial-locality idea simple-knn
+uses on GPU, expressed as gathers + top-k over static shapes. Approximate by
+construction; these consumers are heuristics (scale init, outlier removal)
+where window-local neighbors are accurate in practice. All ops are jittable
+with static shapes; distance work is blocked to bound memory.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+def _expand_bits10(v):
+    """Spread the low 10 bits of v so there are 2 zero bits between each
+    (the classic Morton interleave)."""
+    v = (v | (v << 16)) & 0x030000FF
+    v = (v | (v << 8)) & 0x0300F00F
+    v = (v | (v << 4)) & 0x030C30C3
+    v = (v | (v << 2)) & 0x09249249
+    return v
+
+
+def morton_codes(points: jnp.ndarray) -> jnp.ndarray:
+    """(N,3) -> (N,) uint32 Z-order codes on a 1024^3 grid over the bbox."""
+    lo = jnp.min(points, axis=0)
+    hi = jnp.max(points, axis=0)
+    q = (points - lo) / jnp.maximum(hi - lo, 1e-12)
+    cell = jnp.clip((q * 1023.0).astype(jnp.uint32), 0, 1023)
+    return (_expand_bits10(cell[:, 0])
+            | (_expand_bits10(cell[:, 1]) << 1)
+            | (_expand_bits10(cell[:, 2]) << 2))
+
+
+EXACT_MAX_N = 8192          # below this, blocked brute force is cheap
+
+
+def _fixed_rotations():
+    """Three fixed orthogonal frames decorrelating the Morton curves between
+    passes (rotations preserve distances, so window distances computed in a
+    rotated frame are valid original-space distances). Axis permutations are
+    NOT enough: they relabel the same curve and share its locality misses."""
+    import numpy as np
+    mats = [np.eye(3, dtype=np.float32)]
+    for seed in (1, 2):
+        q = np.random.default_rng(seed).normal(size=4)
+        q /= np.linalg.norm(q)
+        w, x, y, z = q
+        mats.append(np.array(
+            [[1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+             [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+             [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)]],
+            np.float32))
+    return mats
+
+
+_ROTS = _fixed_rotations()
+
+
+@functools.partial(jax.jit, static_argnames=("k", "block"))
+def _knn_exact(points: jnp.ndarray, k: int, block: int = 1024):
+    """Blocked O(N^2) exact kNN squared distances, (N, k)."""
+    n = points.shape[0]
+    n_pad = -(-n // block) * block
+    pts_pad = jnp.pad(points, ((0, n_pad - n), (0, 0)),
+                      constant_values=jnp.inf)
+    sq = jnp.sum(jnp.where(jnp.isfinite(pts_pad), pts_pad, 0.0) ** 2, -1)
+
+    def one_block(b):
+        idx = b * block + jnp.arange(block)
+        p = pts_pad[idx]
+        # d2 via the MXU: |p|^2 + |q|^2 - 2 p.q
+        dots = p @ jnp.where(jnp.isfinite(pts_pad), pts_pad, 0.0).T
+        d2 = sq[idx][:, None] + sq[None, :] - 2.0 * dots
+        self_or_pad = (idx[:, None] == jnp.arange(n_pad)[None, :]) | (
+            jnp.arange(n_pad)[None, :] >= n) | (idx[:, None] >= n)
+        d2 = jnp.where(self_or_pad, jnp.inf, jnp.maximum(d2, 0.0))
+        neg_top, _ = jax.lax.top_k(-d2, k)
+        return -neg_top
+
+    out = jax.lax.map(one_block, jnp.arange(n_pad // block))
+    return out.reshape(n_pad, k)[:n]
+
+
+def _window_pass(points, k, window, block, rot=None):
+    """One Morton pass, optionally in a rotated frame; returns ((N,k) sq
+    dists, (N,k) neighbor indices in original numbering)."""
+    n = points.shape[0]
+    if rot is not None:
+        points = points @ jnp.asarray(rot).T
+    order = jnp.argsort(morton_codes(points))
+    sorted_pts = points[order]
+    n_pad = -(-n // block) * block
+    pts_pad = jnp.pad(sorted_pts, ((0, n_pad - n), (0, 0)),
+                      constant_values=jnp.inf)
+    order_pad = jnp.pad(order.astype(jnp.int32), (0, n_pad - n),
+                        constant_values=n)
+    offs = jnp.concatenate([jnp.arange(-window, 0), jnp.arange(1, window + 1)])
+
+    def one_block(b):
+        idx = b * block + jnp.arange(block)               # (B,)
+        nbr = idx[:, None] + offs[None, :]                # (B, 2W)
+        valid = (nbr >= 0) & (nbr < n)
+        nbr = jnp.clip(nbr, 0, n_pad - 1)
+        p = pts_pad[idx]
+        q = pts_pad[nbr]
+        d2 = jnp.sum((p[:, None, :] - q) ** 2, axis=-1)
+        d2 = jnp.where(valid, d2, jnp.inf)
+        neg_top, top_j = jax.lax.top_k(-d2, k)
+        nbr_orig = jnp.take_along_axis(order_pad[nbr], top_j, axis=1)
+        return -neg_top, nbr_orig
+
+    d2_sorted, nbr_sorted = jax.lax.map(one_block, jnp.arange(n_pad // block))
+    d2_sorted = d2_sorted.reshape(n_pad, k)[:n]
+    nbr_sorted = nbr_sorted.reshape(n_pad, k)[:n]
+    inv = jnp.zeros((n,), jnp.int32).at[order].set(
+        jnp.arange(n, dtype=jnp.int32))
+    return d2_sorted[inv], nbr_sorted[inv]
+
+
+@functools.partial(jax.jit, static_argnames=("k", "window", "block"))
+def knn_sq_dists(points: jnp.ndarray, k: int = 3, window: int = 32,
+                 block: int = 4096) -> jnp.ndarray:
+    """Squared distances to the k nearest neighbors, (N, k).
+
+    Exact (blocked brute force on the MXU) for N <= EXACT_MAX_N; otherwise
+    three Morton-window passes under cyclic axis permutations, merged by
+    re-top-k — the locality misses of one space-filling curve are largely
+    disjoint from another's.
+    """
+    n = points.shape[0]
+    if n <= EXACT_MAX_N:
+        return _knn_exact(points, k)
+    passes = [_window_pass(points, k, window, block, r) for r in _ROTS]
+    d2 = jnp.concatenate([d for d, _ in passes], axis=1)      # (N, 3k)
+    nbr = jnp.concatenate([i for _, i in passes], axis=1)
+    # dedupe by neighbor id: the same true neighbor is found by several
+    # passes; keep its first (sorted-by-distance) occurrence only.
+    m = d2.shape[1]
+    ordr = jnp.argsort(d2, axis=1)
+    d2s = jnp.take_along_axis(d2, ordr, axis=1)
+    nbs = jnp.take_along_axis(nbr, ordr, axis=1)
+    earlier = jnp.triu(jnp.ones((m, m), bool), k=1)           # [i,j]: i<j
+    dup = jnp.any((nbs[:, None, :] == nbs[:, :, None]) & earlier[None],
+                  axis=1)
+    d2s = jnp.where(dup, jnp.inf, d2s)
+    neg_top, _ = jax.lax.top_k(-d2s, k)
+    return -neg_top
+
+
+def mean_sq_dist_to_3nn(points: jnp.ndarray) -> jnp.ndarray:
+    """simple-knn distCUDA2 semantics (scene/gaussian_model.py:211): mean of
+    the squared distances to the 3 nearest neighbors, (N,)."""
+    d2 = knn_sq_dists(points, k=3)
+    d2 = jnp.where(jnp.isfinite(d2), d2, 0.0)
+    return d2.mean(axis=-1)
+
+
+def _count_pass(points, r2, window, block, rot=None):
+    n = points.shape[0]
+    if rot is not None:
+        points = points @ jnp.asarray(rot).T
+    order = jnp.argsort(morton_codes(points))
+    sorted_pts = points[order]
+    n_pad = -(-n // block) * block
+    pts_pad = jnp.pad(sorted_pts, ((0, n_pad - n), (0, 0)),
+                      constant_values=jnp.inf)
+    offs = jnp.concatenate([jnp.arange(-window, 0), jnp.arange(1, window + 1)])
+
+    def one_block(b):
+        idx = b * block + jnp.arange(block)
+        nbr = idx[:, None] + offs[None, :]
+        valid = (nbr >= 0) & (nbr < n)
+        nbr = jnp.clip(nbr, 0, n_pad - 1)
+        p = pts_pad[idx]
+        q = pts_pad[nbr]
+        d2 = jnp.sum((p[:, None, :] - q) ** 2, axis=-1)
+        return jnp.sum(((d2 <= r2) & valid).astype(jnp.int32), axis=-1)
+
+    cnt = jax.lax.map(one_block, jnp.arange(n_pad // block)).reshape(n_pad)[:n]
+    inv = jnp.zeros((n,), jnp.int32).at[order].set(
+        jnp.arange(n, dtype=jnp.int32))
+    return cnt[inv]
+
+
+@functools.partial(jax.jit, static_argnames=("window", "block"))
+def radius_neighbor_counts(points: jnp.ndarray, radius, window: int = 48,
+                           block: int = 4096) -> jnp.ndarray:
+    """Number of neighbors within ``radius``, (N,). Exact for small N;
+    otherwise the max over three Morton-permutation window passes (a lower
+    bound on the true count — conservative for outlier removal, which keeps
+    points with *enough* neighbors)."""
+    n = points.shape[0]
+    r2 = radius * radius
+    if n <= EXACT_MAX_N:
+        d2 = _knn_exact(points, k=min(n - 1, 64))
+        return jnp.sum((d2 <= r2).astype(jnp.int32), axis=-1)
+    counts = [_count_pass(points, r2, window, block, r) for r in _ROTS]
+    return jnp.maximum(jnp.maximum(counts[0], counts[1]), counts[2])
+
+
+def remove_radius_outlier(points: jnp.ndarray, nb_points: int = 5,
+                          radius: float = 0.01) -> jnp.ndarray:
+    """Keep-mask of points with >= nb_points neighbors within radius
+    (tools/denoise_pcd.py:4-9)."""
+    return radius_neighbor_counts(points, radius) >= nb_points

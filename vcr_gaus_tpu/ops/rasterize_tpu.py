@@ -1,0 +1,577 @@
+"""Pallas TPU tile rasterizer: forward + analytic backward compositing.
+
+TPU-first re-design of the reference's CUDA rasterizer core
+(diff-gaussian-rasterization fork, see SURVEY.md §2.3#1). Per 16x16 pixel
+tile, the depth-sorted entry list (from ops/binning.py) is streamed from HBM
+in double-buffered chunks of G=128 Gaussians; compositing is expressed as
+
+  * alpha evaluation:              (P, G) VPU elementwise,
+  * in-chunk exclusive cumprod:    log-space cumsum as a (P,G)x(G,G)
+                                   upper-triangular matmul on the MXU,
+  * feature accumulation:          a (P,G)x(G,C) matmul on the MXU,
+
+with a (P,1) transmittance carry across chunks. The backward kernel re-walks
+the list front-to-back twice (pass 1: total weighted residual + final
+transmittance; pass 2: per-entry gradients via prefix sums), emitting
+per-entry gradients in the same packed feature layout, which the host wrapper
+segment-sums back to per-Gaussian gradients.
+
+Deviations from the CUDA fork (documented, metric-neutral):
+  * no in-tile early termination at T<1e-4 — the full product is composited
+    (the identity sum w == 1 - prod(1-alpha) then holds exactly);
+  * distortion is the order-independent pairwise-squared form computed
+    outside the kernel from the (sum w, sum w d, sum w d^2) channels.
+
+Output channel layout per pixel (C_OUT = 9 + ch_sem):
+  0:3 rgb (+ T_final * bg)  3:6 normal  6 depth  7 depth^2  8 alpha  9: sem
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from . import projection as PF
+
+TILE = 16
+P = TILE * TILE          # pixels per tile
+G = 128                  # entries per chunk
+ALPHA_EPS = 1.0 / 255.0
+ALPHA_CAP = 0.99
+
+# extra gradient rows appended after the packed feature rows
+GROW_ABS_X = 0           # |d mean2d.x| accumulation (densification stats)
+GROW_ABS_Y = 1
+N_EXTRA_GRAD = 2
+
+
+def _round8(x: int) -> int:
+    return -(-x // 8) * 8
+
+
+def feat_rows(ch_sem: int) -> int:
+    """Padded row count of the transposed feature matrix (shared by feats and
+    per-entry grads; grads use two extra rows for the abs mean2d stats)."""
+    return _round8(PF.feature_dim(ch_sem) + N_EXTRA_GRAD)
+
+
+def out_channels(ch_sem: int) -> int:
+    return 9 + ch_sem
+
+
+def out_pad(ch_sem: int) -> int:
+    return _round8(out_channels(ch_sem))
+
+
+def _interpret() -> bool:
+    return jax.default_backend() == "cpu"
+
+
+# ---------------------------------------------------------------------------
+# shared in-kernel helpers
+# ---------------------------------------------------------------------------
+
+def _pixel_coords(t, n_tx):
+    """(P,1) float pixel x/y for tile t (alpha sampled at integer coords)."""
+    ty = t // n_tx
+    tx = t - ty * n_tx
+    pix = jax.lax.broadcasted_iota(jnp.int32, (P, 1), 0)
+    px = (tx * TILE + pix % TILE).astype(jnp.float32)
+    py = (ty * TILE + pix // TILE).astype(jnp.float32)
+    return px, py
+
+
+def _upper_tri_incl():
+    """(G,G) f32 matrix M with M[j,g] = 1 iff j <= g  (inclusive cumsum)."""
+    rows = jax.lax.broadcasted_iota(jnp.int32, (G, G), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (G, G), 1)
+    return (rows <= cols).astype(jnp.float32)
+
+
+def _alpha_chunk(f, px, py, n_rem, pvalid=None):
+    """Evaluate alpha for one chunk. f: (F_PAD, G) feature rows; returns
+    (alpha (P,G), extras dict with dx, dy and masks for reuse in backward).
+    pvalid: optional (P,1) mask of pixels inside the un-padded image (the
+    CUDA rasterizer's out-of-bounds thread early-exit)."""
+    mean_x = f[PF.F_MEAN_X:PF.F_MEAN_X + 1, :]       # (1, G)
+    mean_y = f[PF.F_MEAN_Y:PF.F_MEAN_Y + 1, :]
+    A = f[PF.F_CONIC_A:PF.F_CONIC_A + 1, :]
+    B = f[PF.F_CONIC_B:PF.F_CONIC_B + 1, :]
+    C = f[PF.F_CONIC_C:PF.F_CONIC_C + 1, :]
+    op = f[PF.F_OPACITY:PF.F_OPACITY + 1, :]
+
+    dx = px - mean_x                                  # (P, G)
+    dy = py - mean_y
+    power = -0.5 * (A * dx * dx + C * dy * dy) - B * dx * dy
+    alpha_raw = op * jnp.exp(power)
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, G), 1)
+    valid = lane < n_rem                              # entries of this tile
+    live = (power <= 0.0) & (alpha_raw >= ALPHA_EPS) & valid
+    if pvalid is not None:
+        live = live & pvalid
+    capped = alpha_raw > ALPHA_CAP
+    alpha = jnp.where(live, jnp.minimum(alpha_raw, ALPHA_CAP), 0.0)
+    return alpha, dict(dx=dx, dy=dy, A=A, B=B, C=C, op=op,
+                       live=live, capped=capped, power=power)
+
+
+def _depth_chunk(f, px, py, cam, depth_mode: str):
+    """Per-(pixel, gaussian) depth d (P,G)."""
+    if depth_mode == "traditional":
+        return jnp.broadcast_to(f[PF.F_DEPTH_Z:PF.F_DEPTH_Z + 1, :], (P, G)), None
+    fx, fy, cx, cy = cam[0], cam[1], cam[2], cam[3]
+    dirx = (px + 0.5 - cx) / fx                       # (P,1)
+    diry = (py + 0.5 - cy) / fy
+    inv_n = jax.lax.rsqrt(dirx * dirx + diry * diry + 1.0)
+    dirx, diry, dirz = dirx * inv_n, diry * inv_n, inv_n
+    nx = f[PF.F_NORMAL:PF.F_NORMAL + 1, :]
+    ny = f[PF.F_NORMAL + 1:PF.F_NORMAL + 2, :]
+    nz = f[PF.F_NORMAL + 2:PF.F_NORMAL + 3, :]
+    denom = dirx * nx + diry * ny + dirz * nz         # (P,G)
+    denom = jnp.where(jnp.abs(denom) < 1e-2,
+                      jnp.where(denom < 0, -1e-2, 1e-2), denom)
+    d = f[PF.F_PLANE_D:PF.F_PLANE_D + 1, :] / denom
+    return d, dict(denom=denom, dirx=dirx, diry=diry, dirz=dirz)
+
+
+def _transmittance(alpha, ut):
+    """Returns (trans_excl (P,G), chunk_total (P,1)) where trans_excl[p,g] =
+    prod_{j<g within chunk} (1-alpha) and chunk_total = prod over chunk."""
+    lg = jnp.log1p(-alpha)
+    csum_incl = jax.lax.dot_general(
+        lg, ut, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    trans_excl = jnp.exp(csum_incl - lg)
+    chunk_total = jnp.exp(csum_incl[:, G - 1:G])
+    return trans_excl, chunk_total
+
+
+# ---------------------------------------------------------------------------
+# forward kernel
+# ---------------------------------------------------------------------------
+
+def _fwd_kernel(starts_ref, counts_ref, cam_ref, feats_ref, out_ref, buf, sems,
+                *, ch_sem: int, depth_mode: str, n_tx: int):
+    t = pl.program_id(0)
+    start = pl.multiple_of(starts_ref[t], G)   # aligned tile region start
+    n = counts_ref[t]
+    nchunks = (n + G - 1) // G
+
+    px, py = _pixel_coords(t, n_tx)
+    ut = _upper_tri_incl()
+    cam = cam_ref
+    c_acc = 6 + ch_sem       # matmul-composited channels: rgb, normal, sem
+    c_pad = out_pad(ch_sem)
+
+    def get_dma(slot, k):
+        return pltpu.make_async_copy(
+            feats_ref.at[:, pl.ds(start + k * G, G)], buf.at[slot],
+            sems.at[slot])
+
+    @pl.when(nchunks > 0)
+    def _():
+        get_dma(0, 0).start()
+
+    feat_rows_acc = (PF.F_NORMAL, PF.F_NORMAL + 3)   # normals rows 8..10
+
+    def body(k, carry):
+        t_carry, acc, acc_d, acc_d2 = carry
+        slot = k % 2
+
+        @pl.when(k + 1 < nchunks)
+        def _():
+            get_dma((k + 1) % 2, k + 1).start()
+
+        get_dma(slot, k).wait()
+        f = buf[slot]                                  # (F_PAD, G)
+
+        alpha, ex = _alpha_chunk(f, px, py, n - k * G)
+        trans_excl, chunk_total = _transmittance(alpha, ut)
+        w = alpha * trans_excl * t_carry               # (P,G)
+
+        # features to composite: rows [normal(3), rgb(3), sem(S)]
+        fsub = f[PF.F_NORMAL:PF.F_NORMAL + c_acc, :]   # (c_acc, G) rows 8..
+        acc = acc + jax.lax.dot_general(
+            w, fsub, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)        # (P, c_acc)
+
+        d, _ = _depth_chunk(f, px, py, cam, depth_mode)
+        wd = w * d
+        acc_d = acc_d + jnp.sum(wd, axis=1, keepdims=True)
+        acc_d2 = acc_d2 + jnp.sum(wd * d, axis=1, keepdims=True)
+
+        return t_carry * chunk_total, acc, acc_d, acc_d2
+
+    init = (jnp.ones((P, 1), jnp.float32),
+            jnp.zeros((P, 6 + ch_sem), jnp.float32),
+            jnp.zeros((P, 1), jnp.float32),
+            jnp.zeros((P, 1), jnp.float32))
+    t_final, acc, acc_d, acc_d2 = jax.lax.fori_loop(0, nchunks, body, init)
+
+    # acc columns: [nx,ny,nz, r,g,b, sem...]  (feature-row order 8..)
+    bg = jnp.stack([cam[4], cam[5], cam[6]])[None, :]  # (1,3)
+    rgb = acc[:, 3:6] + t_final * bg
+    cols = [rgb, acc[:, 0:3], acc_d, acc_d2, 1.0 - t_final]
+    if ch_sem:
+        cols.append(acc[:, 6:6 + ch_sem])
+    n_pad = c_pad - out_channels(ch_sem)
+    if n_pad:
+        cols.append(jnp.zeros((P, n_pad), jnp.float32))
+    out_ref[0] = jnp.concatenate(cols, axis=1)
+
+
+def rasterize_forward(feats_t: jnp.ndarray, tile_starts: jnp.ndarray,
+                      tile_counts: jnp.ndarray, cam: jnp.ndarray, n_tx: int, n_ty: int, ch_sem: int,
+                      depth_mode: str) -> jnp.ndarray:
+    """feats_t: (F_PAD, E_pad) transposed packed sorted features.
+    cam: (8,) [fx, fy, cx, cy, bg_r, bg_g, bg_b, 0].
+    Returns (T, P, C_PAD)."""
+    num_tiles = n_tx * n_ty
+    c_pad = out_pad(ch_sem)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(num_tiles,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec((1, P, c_pad), lambda t, *_: (t, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, feats_t.shape[0], G), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    kernel = functools.partial(_fwd_kernel, ch_sem=ch_sem,
+                               depth_mode=depth_mode, n_tx=n_tx)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((num_tiles, P, c_pad), jnp.float32),
+        interpret=_interpret(),
+    )(tile_starts, tile_counts, cam, feats_t)
+
+
+# ---------------------------------------------------------------------------
+# backward kernel
+# ---------------------------------------------------------------------------
+
+def _bwd_kernel(starts_ref, counts_ref, cam_ref, feats_ref, gout_ref, gfeat_ref,
+                buf, gbuf, sems, wsem,
+                *, ch_sem: int, depth_mode: str, n_tx: int):
+    t = pl.program_id(0)
+    start = pl.multiple_of(starts_ref[t], G)   # aligned tile region start
+    n = counts_ref[t]
+    nchunks = (n + G - 1) // G
+
+    px, py = _pixel_coords(t, n_tx)
+    ut = _upper_tri_incl()
+    cam = cam_ref
+    c_acc = 6 + ch_sem
+    gout = gout_ref[0]                                 # (P, C_PAD)
+    g_rgb = gout[:, 0:3]
+    g_nrm = gout[:, 3:6]
+    g_d = gout[:, 6:7]
+    g_d2 = gout[:, 7:8]
+    g_al = gout[:, 8:9]
+    # gradient w.r.t. composited feature columns in row order 8.. :
+    # [normal(3), rgb(3), sem(S)]
+    if ch_sem:
+        g_sem = gout[:, 9:9 + ch_sem]
+        g_acc = jnp.concatenate([g_nrm, g_rgb, g_sem], axis=1)   # (P, c_acc)
+    else:
+        g_acc = jnp.concatenate([g_nrm, g_rgb], axis=1)
+
+    def get_dma(slot, k):
+        return pltpu.make_async_copy(
+            feats_ref.at[:, pl.ds(start + k * G, G)], buf.at[slot],
+            sems.at[slot])
+
+    # ---- pass 1: totals -------------------------------------------------
+    @pl.when(nchunks > 0)
+    def _():
+        get_dma(0, 0).start()
+
+    def body1(k, carry):
+        t_carry, u_total = carry
+        slot = k % 2
+
+        @pl.when(k + 1 < nchunks)
+        def _():
+            get_dma((k + 1) % 2, k + 1).start()
+
+        get_dma(slot, k).wait()
+        f = buf[slot]
+        alpha, ex = _alpha_chunk(f, px, py, n - k * G)
+        trans_excl, chunk_total = _transmittance(alpha, ut)
+        w = alpha * trans_excl * t_carry
+        d, _ = _depth_chunk(f, px, py, cam, depth_mode)
+        fsub = f[PF.F_NORMAL:PF.F_NORMAL + c_acc, :]
+        s = jax.lax.dot_general(g_acc, fsub, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)  # (P,G)
+        s = s + d * (g_d + d * g_d2)
+        u_total = u_total + jnp.sum(w * s, axis=1, keepdims=True)
+        return t_carry * chunk_total, u_total
+
+    t_final, u_total = jax.lax.fori_loop(
+        0, nchunks, body1,
+        (jnp.ones((P, 1), jnp.float32), jnp.zeros((P, 1), jnp.float32)))
+
+    bg = jnp.stack([cam[4], cam[5], cam[6]])[None, :]
+    b_pix = jnp.sum(bg * g_rgb, axis=1, keepdims=True) - g_al     # (P,1)
+    tb = t_final * b_pix
+
+    # ---- pass 2: per-entry gradients -----------------------------------
+    @pl.when(nchunks > 0)
+    def _():
+        get_dma(0, 0).start()
+
+    def body2(k, carry):
+        t_carry, prefix = carry
+        slot = k % 2
+
+        @pl.when(k + 1 < nchunks)
+        def _():
+            get_dma((k + 1) % 2, k + 1).start()
+
+        get_dma(slot, k).wait()
+        f = buf[slot]
+        alpha, ex = _alpha_chunk(f, px, py, n - k * G)
+        trans_excl, chunk_total = _transmittance(alpha, ut)
+        v = trans_excl * t_carry                       # transmittance before g
+        w = alpha * v
+        d, dex = _depth_chunk(f, px, py, cam, depth_mode)
+        fsub = f[PF.F_NORMAL:PF.F_NORMAL + c_acc, :]
+        s = jax.lax.dot_general(g_acc, fsub, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        s = s + d * (g_d + d * g_d2)
+
+        u = w * s
+        u_csum = jax.lax.dot_general(u, ut, (((1,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+        prefix_incl = prefix + u_csum                  # (P,G) inclusive prefix
+        suffix = u_total - prefix_incl                 # sum over later entries
+
+        dalpha = v * s - (suffix + tb) / (1.0 - alpha)
+        dalpha = jnp.where(ex["live"], dalpha, 0.0)
+        dpw = jnp.where(ex["capped"], 0.0, dalpha * alpha)   # d power
+
+        # ---- reduce to per-entry rows (1, G) ----
+        gxa = ex["A"] * ex["dx"] + ex["B"] * ex["dy"]
+        gya = ex["C"] * ex["dy"] + ex["B"] * ex["dx"]
+        g_meanx = jnp.sum(dpw * gxa, axis=0, keepdims=True)
+        g_meany = jnp.sum(dpw * gya, axis=0, keepdims=True)
+        g_absx = jnp.sum(jnp.abs(dpw * gxa), axis=0, keepdims=True)
+        g_absy = jnp.sum(jnp.abs(dpw * gya), axis=0, keepdims=True)
+        g_ca = jnp.sum(dpw * (-0.5) * ex["dx"] * ex["dx"], axis=0, keepdims=True)
+        g_cb = jnp.sum(dpw * (-1.0) * ex["dx"] * ex["dy"], axis=0, keepdims=True)
+        g_cc = jnp.sum(dpw * (-0.5) * ex["dy"] * ex["dy"], axis=0, keepdims=True)
+        op_safe = jnp.maximum(ex["op"], 1e-12)
+        g_op = jnp.sum(jnp.where(ex["capped"], 0.0, dalpha * alpha),
+                       axis=0, keepdims=True) / op_safe
+
+        # feature grads (c_acc, G): sum_p w * g_acc
+        gfeat_acc = jax.lax.dot_general(
+            g_acc, w, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)        # (c_acc, G)
+
+        # depth grads
+        gd_pg = w * (g_d + 2.0 * d * g_d2)             # (P,G)
+        if depth_mode == "traditional":
+            g_z = jnp.sum(gd_pg, axis=0, keepdims=True)
+            g_pd = jnp.zeros((1, G), jnp.float32)
+            g_n = jnp.zeros((3, G), jnp.float32)
+        else:
+            denom = dex["denom"]
+            inv_den = 1.0 / denom
+            g_pd = jnp.sum(gd_pg * inv_den, axis=0, keepdims=True)
+            coef = gd_pg * (-f[PF.F_PLANE_D:PF.F_PLANE_D + 1, :]) * inv_den * inv_den
+            g_n = jnp.concatenate(
+                [jnp.sum(coef * dex["dirx"], axis=0, keepdims=True),
+                 jnp.sum(coef * dex["diry"], axis=0, keepdims=True),
+                 jnp.sum(coef * dex["dirz"], axis=0, keepdims=True)], axis=0)
+            g_z = jnp.zeros((1, G), jnp.float32)
+
+        nfeat = PF.feature_dim(ch_sem)
+        grows = gbuf.shape[1]
+        # rows 0..7: fixed geometry grads (packed feature order);
+        # rows 8..8+c_acc: composited-feature grads (normal, rgb, sem), the
+        # normal rows also receiving the intersection-depth term;
+        # rows nfeat+0/1: |d mean2d| densification stats; then zero padding.
+        if depth_mode != "traditional":
+            gmid = jnp.concatenate([gfeat_acc[:3] + g_n, gfeat_acc[3:]], axis=0)
+        else:
+            gmid = gfeat_acc
+        rows = [g_meanx, g_meany, g_ca, g_cb, g_cc, g_op, g_z, g_pd,
+                gmid, g_absx, g_absy]
+        n_pad = grows - (nfeat + N_EXTRA_GRAD)
+        if n_pad:
+            rows.append(jnp.zeros((n_pad, G), jnp.float32))
+        gchunk = jnp.concatenate(rows, axis=0)
+
+        wslot = k % 2
+        # wait previous write on this slot before overwriting the buffer
+        @pl.when(k >= 2)
+        def _():
+            pltpu.make_async_copy(
+                gbuf.at[wslot], gfeat_ref.at[:, pl.ds(start + (k - 2) * G, G)],
+                wsem.at[wslot]).wait()
+        gbuf[wslot] = gchunk
+        pltpu.make_async_copy(
+            gbuf.at[wslot], gfeat_ref.at[:, pl.ds(start + k * G, G)],
+            wsem.at[wslot]).start()
+
+        new_prefix = prefix + u_csum[:, G - 1:G]
+        return t_carry * chunk_total, new_prefix
+
+    t_end, _ = jax.lax.fori_loop(
+        0, nchunks, body2,
+        (jnp.ones((P, 1), jnp.float32), jnp.zeros((P, 1), jnp.float32)))
+
+    # drain outstanding write DMAs (up to two)
+    def drain(k):
+        @pl.when((k >= 0) & (k < nchunks))
+        def _():
+            pltpu.make_async_copy(
+                gbuf.at[k % 2], gfeat_ref.at[:, pl.ds(start + k * G, G)],
+                wsem.at[k % 2]).wait()
+
+    drain(nchunks - 2)
+    drain(nchunks - 1)
+
+
+def rasterize_backward(feats_t, tile_starts, tile_counts, cam, gout_tiles, n_tx, n_ty,
+                       ch_sem: int, depth_mode: str):
+    """gout_tiles: (T, P, C_PAD) upstream grads. Returns per-entry grads
+    (F_PAD, E_pad) in the packed layout (+2 abs-mean rows)."""
+    num_tiles = n_tx * n_ty
+    f_pad = feats_t.shape[0]
+    e_pad = feats_t.shape[1]
+    c_pad = out_pad(ch_sem)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(num_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, P, c_pad), lambda t, *_: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((2, f_pad, G), jnp.float32),
+            pltpu.VMEM((2, f_pad, G), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    kernel = functools.partial(_bwd_kernel, ch_sem=ch_sem,
+                               depth_mode=depth_mode, n_tx=n_tx)
+    gfeat = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((f_pad, e_pad), jnp.float32),
+        interpret=_interpret(),
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(tile_starts, tile_counts, cam, feats_t, gout_tiles)
+    return gfeat
+
+
+# ---------------------------------------------------------------------------
+# per-entry visibility / importance stats (f_count render modes)
+# ---------------------------------------------------------------------------
+
+def _stats_kernel(starts_ref, counts_ref, cam_ref, feats_ref, stats_ref, buf, gbuf, sems,
+                  wsem, *, n_tx: int, width: int, height: int):
+    t = pl.program_id(0)
+    start = pl.multiple_of(starts_ref[t], G)   # aligned tile region start
+    n = counts_ref[t]
+    nchunks = (n + G - 1) // G
+    px, py = _pixel_coords(t, n_tx)
+    pvalid = (px < width) & (py < height)
+    ut = _upper_tri_incl()
+
+    def get_dma(slot, k):
+        return pltpu.make_async_copy(
+            feats_ref.at[:, pl.ds(start + k * G, G)], buf.at[slot],
+            sems.at[slot])
+
+    @pl.when(nchunks > 0)
+    def _():
+        get_dma(0, 0).start()
+
+    def body(k, t_carry):
+        slot = k % 2
+
+        @pl.when(k + 1 < nchunks)
+        def _():
+            get_dma((k + 1) % 2, k + 1).start()
+
+        get_dma(slot, k).wait()
+        f = buf[slot]
+        alpha, ex = _alpha_chunk(f, px, py, n - k * G, pvalid)
+        trans_excl, chunk_total = _transmittance(alpha, ut)
+        w = alpha * trans_excl * t_carry
+        count = jnp.sum(ex["live"].astype(jnp.float32), axis=0, keepdims=True)
+        imp = jnp.sum(w, axis=0, keepdims=True)
+
+        out = jnp.concatenate([count, imp, jnp.zeros((6, G), jnp.float32)],
+                              axis=0)
+        wslot = k % 2
+
+        @pl.when(k >= 2)
+        def _():
+            pltpu.make_async_copy(
+                gbuf.at[wslot], stats_ref.at[:, pl.ds(start + (k - 2) * G, G)],
+                wsem.at[wslot]).wait()
+        gbuf[wslot] = out
+        pltpu.make_async_copy(
+            gbuf.at[wslot], stats_ref.at[:, pl.ds(start + k * G, G)],
+            wsem.at[wslot]).start()
+        return t_carry * chunk_total
+
+    jax.lax.fori_loop(0, nchunks, body, jnp.ones((P, 1), jnp.float32))
+
+    def drain(k):
+        @pl.when((k >= 0) & (k < nchunks))
+        def _():
+            pltpu.make_async_copy(
+                gbuf.at[k % 2], stats_ref.at[:, pl.ds(start + k * G, G)],
+                wsem.at[k % 2]).wait()
+
+    drain(nchunks - 2)
+    drain(nchunks - 1)
+
+
+def rasterize_stats(feats_t, tile_starts, tile_counts, cam, n_tx, n_ty,
+                    width=None, height=None):
+    """Per-entry (count, importance) stats -> (8, E_pad); rows 0=pixel hit
+    count, 1=sum of blending weights (LightGaussian importance,
+    tools/prune.py:25-47 consumers)."""
+    num_tiles = n_tx * n_ty
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(num_tiles,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((2, feats_t.shape[0], G), jnp.float32),
+            pltpu.VMEM((2, 8, G), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    if width is None:
+        width = n_tx * TILE
+    if height is None:
+        height = n_ty * TILE
+    kernel = functools.partial(_stats_kernel, n_tx=n_tx, width=width,
+                               height=height)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((8, feats_t.shape[1]), jnp.float32),
+        interpret=_interpret(),
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(tile_starts, tile_counts, cam, feats_t)

@@ -1,0 +1,242 @@
+"""Training losses, all jit-able JAX.
+
+Semantics match the reference's tools/loss_utils.py + tools/normal_utils.py
+(file:line cited per function); images are (C, H, W) float32 like the
+reference's tensors.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+def l1_loss(pred, gt):
+    """tools/loss_utils.py:36-37"""
+    return jnp.abs(pred - gt).mean()
+
+
+def l2_loss(pred, gt):
+    """tools/loss_utils.py:45-46"""
+    return ((pred - gt) ** 2).mean()
+
+
+def log_l1_loss(pred, gt):
+    """tools/loss_utils.py:40-42"""
+    return jnp.log1p(jnp.abs(pred - gt)).mean()
+
+
+def entropy_loss(opacity, mask=None):
+    """Binary entropy of opacities (tools/loss_utils.py:30-33); optional mask
+    averages over selected gaussians only (trainer.py:246-248)."""
+    e = (-opacity * jnp.log(opacity + 1e-6)
+         - (1 - opacity) * jnp.log(1 - opacity + 1e-6))
+    if mask is None:
+        return e.mean()
+    m = mask.astype(e.dtype)
+    return jnp.sum(e * m) / jnp.maximum(jnp.sum(m), 1.0)
+
+
+# ---------------------------------------------------------------------------
+# SSIM
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=4)
+def _gaussian_window(window_size: int, sigma: float):
+    import numpy as np
+    x = np.arange(window_size) - window_size // 2
+    g = np.exp(-(x ** 2) / (2 * sigma ** 2))
+    g = g / g.sum()
+    w2d = np.outer(g, g).astype(np.float32)
+    return jnp.asarray(w2d)
+
+
+def ssim(img1, img2, window_size: int = 11):
+    """Mean SSIM with an 11x11 sigma-1.5 gaussian window and same-padding,
+    per channel (tools/loss_utils.py:49-92). Images (C, H, W) in [0,1]."""
+    w = _gaussian_window(window_size, 1.5)[None, None]     # (1,1,K,K)
+    c = img1.shape[0]
+    pad = window_size // 2
+
+    def blur(x):
+        # depthwise conv: treat channels as batch
+        return jax.lax.conv_general_dilated(
+            x[:, None], w, (1, 1), [(pad, pad), (pad, pad)],
+            dimension_numbers=("NCHW", "OIHW", "NCHW"))[:, 0]
+
+    mu1, mu2 = blur(img1), blur(img2)
+    mu1_sq, mu2_sq, mu1_mu2 = mu1 * mu1, mu2 * mu2, mu1 * mu2
+    sigma1_sq = blur(img1 * img1) - mu1_sq
+    sigma2_sq = blur(img2 * img2) - mu2_sq
+    sigma12 = blur(img1 * img2) - mu1_mu2
+    C1, C2 = 0.01 ** 2, 0.03 ** 2
+    ssim_map = ((2 * mu1_mu2 + C1) * (2 * sigma12 + C2)) / (
+        (mu1_sq + mu2_sq + C1) * (sigma1_sq + sigma2_sq + C2))
+    return ssim_map.mean()
+
+
+# ---------------------------------------------------------------------------
+# Normal losses
+# ---------------------------------------------------------------------------
+
+def monosdf_normal_loss(normal_pred, normal_gt, weight=None):
+    """L1 + cosine normal consistency (tools/loss_utils.py:122-132).
+    Inputs (..., 3); optional per-point weight (...)."""
+    if weight is None:
+        weight = 1.0
+    l1 = (weight * jnp.abs(normal_pred - normal_gt).sum(-1)).mean()
+    cos = (weight * (1.0 - jnp.sum(normal_pred * normal_gt, -1))).mean()
+    return l1 + cos
+
+
+def masked_monosdf_normal_loss(normal_pred, normal_gt, mask, weight=None):
+    """monosdf loss averaged over mask-selected pixels (the reference indexes
+    with a boolean mask, trainer.py:276-280); zero when mask is empty."""
+    if weight is None:
+        weight = jnp.ones(normal_pred.shape[:-1], normal_pred.dtype)
+    m = mask.astype(normal_pred.dtype)
+    denom = jnp.maximum(m.sum(), 1.0)
+    l1 = jnp.sum(m * weight * jnp.abs(normal_pred - normal_gt).sum(-1)) / denom
+    cos = jnp.sum(m * weight * (1.0 - jnp.sum(normal_pred * normal_gt, -1))
+                  ) / denom
+    return jnp.where(mask.sum() > 0, l1 + cos, 0.0)
+
+
+def cos_weight(render_normal, gt_normal, exp_t: float = 1.0):
+    """Confidence weight exp((cos-1)/exp_t), detached
+    (tools/loss_utils.py:135-142)."""
+    cos = jnp.sum(render_normal * gt_normal, -1)
+    if exp_t > 0:
+        cos = jnp.exp((cos - 1.0) / exp_t)
+    else:
+        cos = jnp.ones_like(cos)
+    return jax.lax.stop_gradient(cos)
+
+
+def normal2curv(normal, mask):
+    """4-neighbor normal curvature magnitude (tools/loss_utils.py:287-300).
+    normal (H,W,3), mask (H,W,1) float -> (H,W,1)."""
+    n = jnp.pad(normal, ((1, 1), (1, 1), (0, 0)), mode="edge")
+    m = jnp.pad(mask.astype(jnp.float32), ((1, 1), (1, 1), (0, 0)),
+                mode="edge")
+    n_c = n[1:-1, 1:-1] * m[1:-1, 1:-1]
+    n_u = (n[:-2, 1:-1] - n_c) * m[:-2, 1:-1]
+    n_l = (n[1:-1, :-2] - n_c) * m[1:-1, :-2]
+    n_b = (n[2:, 1:-1] - n_c) * m[2:, 1:-1]
+    n_r = (n[1:-1, 2:] - n_c) * m[1:-1, 2:]
+    curv = (n_u + n_l + n_b + n_r) * mask
+    return jnp.abs(curv).sum(-1, keepdims=True)
+
+
+# ---------------------------------------------------------------------------
+# MiDaS scale-shift-invariant depth loss
+# ---------------------------------------------------------------------------
+
+def _compute_scale_and_shift(prediction, target, mask):
+    """Closed-form least squares per image (tools/loss_utils.py:146-175).
+    Inputs (B, H, W)."""
+    a_00 = jnp.sum(mask * prediction * prediction, (1, 2))
+    a_01 = jnp.sum(mask * prediction, (1, 2))
+    a_11 = jnp.sum(mask, (1, 2))
+    b_0 = jnp.sum(mask * prediction * target, (1, 2))
+    b_1 = jnp.sum(mask * target, (1, 2))
+    det = a_00 * a_11 - a_01 * a_01
+    safe = jnp.where(det == 0, 1.0, det)
+    x_0 = jnp.where(det != 0, (a_11 * b_0 - a_01 * b_1) / safe, 0.0)
+    x_1 = jnp.where(det != 0, (-a_01 * b_0 + a_00 * b_1) / safe, 0.0)
+    return x_0, x_1
+
+
+def _ssi_mse(prediction, target, mask):
+    M = jnp.sum(mask, (1, 2))
+    res = prediction - target
+    image_loss = jnp.sum(mask * res * res, (1, 2))
+    divisor = jnp.sum(2 * M)
+    return jnp.where(divisor == 0, 0.0, jnp.sum(image_loss) / divisor)
+
+
+def _ssi_gradient(prediction, target, mask):
+    M = jnp.sum(mask, (1, 2))
+    diff = (prediction - target) * mask
+    grad_x = jnp.abs(diff[:, :, 1:] - diff[:, :, :-1]) * (
+        mask[:, :, 1:] * mask[:, :, :-1])
+    grad_y = jnp.abs(diff[:, 1:, :] - diff[:, :-1, :]) * (
+        mask[:, 1:, :] * mask[:, :-1, :])
+    image_loss = jnp.sum(grad_x, (1, 2)) + jnp.sum(grad_y, (1, 2))
+    divisor = jnp.sum(M)
+    return jnp.where(divisor == 0, 0.0, jnp.sum(image_loss) / divisor)
+
+
+def scale_and_shift_invariant_depth_loss(prediction, target, mask=None,
+                                         alpha: float = 0.5, scales: int = 1):
+    """MiDaS SSI loss (tools/loss_utils.py:254-283): target is remapped
+    ``target*50 + 0.5``, prediction is scale/shift aligned per image, then
+    masked MSE + alpha * multi-scale gradient matching. Inputs (H, W) or
+    (B, H, W)."""
+    if prediction.ndim == 2:
+        prediction = prediction[None]
+        target = target[None]
+        if mask is not None and mask.ndim == 2:
+            mask = mask[None]
+    target = target * 50.0 + 0.5
+    if mask is None:
+        mask = jnp.ones_like(target)
+    mask = mask.astype(prediction.dtype)
+    scale, shift = _compute_scale_and_shift(prediction, target, mask)
+    pred_ssi = scale[:, None, None] * prediction + shift[:, None, None]
+    total = _ssi_mse(pred_ssi, target, mask)
+    if alpha > 0:
+        for s in range(scales):
+            step = 2 ** s
+            total += alpha * _ssi_gradient(
+                pred_ssi[:, ::step, ::step], target[:, ::step, ::step],
+                mask[:, ::step, ::step])
+    return total
+
+
+# ---------------------------------------------------------------------------
+# Edge-aware distortion + semantic CE
+# ---------------------------------------------------------------------------
+
+def edge_aware_distortion_map(gt_image, distortion_map):
+    """Down-weight distortion at image edges with exp(-max|grad I|), zero
+    border (tools/normal_utils.py:57-66). gt_image (3,H,W),
+    distortion_map (H,W)."""
+    c = gt_image[:, 1:-1, 1:-1]
+    g_l = jnp.mean(jnp.abs(c - gt_image[:, 1:-1, :-2]), 0)
+    g_r = jnp.mean(jnp.abs(c - gt_image[:, 1:-1, 2:]), 0)
+    g_t = jnp.mean(jnp.abs(c - gt_image[:, :-2, 1:-1]), 0)
+    g_b = jnp.mean(jnp.abs(c - gt_image[:, 2:, 1:-1]), 0)
+    max_grad = jnp.maximum(jnp.maximum(g_l, g_r), jnp.maximum(g_t, g_b))
+    w = jnp.pad(jnp.exp(-max_grad), ((1, 1), (1, 1)))
+    return distortion_map * w
+
+
+def semantic_cross_entropy(logits, labels, num_cls: int):
+    """Pixel CE normalized by log(num_cls) to (0,1) (trainer.py:306-308).
+    logits (num_cls, H, W) raw; labels (H, W) int."""
+    lp = jax.nn.log_softmax(logits, axis=0)
+    h, w = labels.shape
+    onehot = jax.nn.one_hot(labels, num_cls, axis=0, dtype=lp.dtype)
+    ce = -(onehot * lp).sum(0).mean()
+    return ce / jnp.log(num_cls)
+
+
+def distortion_from_moments(w_sum, wd_sum, wd2_sum):
+    """Order-independent pairwise depth distortion per pixel:
+    sum_ij w_i w_j (d_i - d_j)^2 = 2 (sum w * sum w d^2 - (sum w d)^2).
+
+    The reference fork accumulates this inside the CUDA kernel
+    (NUM_DIST channel, gaussian_renderer/__init__.py:154-162); we derive it
+    from the moment channels the Pallas kernel emits."""
+    return 2.0 * (w_sum * wd2_sum - wd_sum * wd_sum)
+
+
+def depth_var_from_moments(w_sum, wd_sum, wd2_sum, eps: float = 1e-8):
+    """Alpha-normalized depth variance E[d^2]-E[d]^2
+    (gaussian_renderer/__init__.py:154-158)."""
+    mean = wd_sum / (w_sum + eps)
+    mean2 = wd2_sum / (w_sum + eps)
+    return jnp.maximum(mean2 - mean * mean, 0.0)
