@@ -1,0 +1,113 @@
+"""Camera objects: host-side construction + device-side array view.
+
+The reference's Camera is an nn.Module holding image/depth/normal/mask
+tensors and derived transforms (scene/cameras.py:20-73). Here a Camera is a
+frozen host dataclass; `CameraArrays` is the jit-facing pytree a train step
+consumes (one camera, or stacked into a batch with jax.tree.map).
+
+Conventions match the reference: ``world_view_transform`` and
+``full_proj_transform`` are ROW-VECTOR (transposed/GLM) 4x4s
+(scene/cameras.py:68-71); points transform as ``p_hom @ M``.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from typing import NamedTuple
+
+import numpy as np
+
+from ..utils import graphics as G
+
+
+class CameraArrays(NamedTuple):
+    """Device pytree for the jitted render/train path."""
+    viewmatrix: np.ndarray       # (4,4) row-vector world->cam
+    projmatrix: np.ndarray       # (4,4) row-vector world->clip
+    cam_center: np.ndarray       # (3,)
+    intr: np.ndarray             # (4,) fx, fy, cx, cy
+    tanfov: np.ndarray           # (2,) tanfovx, tanfovy
+    image: np.ndarray            # (3,H,W) in [0,1]
+    normal: np.ndarray           # (3,H,W) mono normal prior (zeros if absent)
+    depth: np.ndarray            # (H,W) mono depth prior (zeros if absent)
+    mask: np.ndarray             # (H,W) int32 semantic labels (0=background)
+    has_normal: np.ndarray       # () bool
+    has_depth: np.ndarray        # () bool
+    has_mask: np.ndarray         # () bool
+    idx: np.ndarray              # () int32 — appearance-embedding index
+
+
+@dataclass(frozen=True)
+class Camera:
+    """Host camera (scene/cameras.py:20-73 equivalent)."""
+    colmap_id: int
+    idx: int
+    image_name: str
+    R: np.ndarray                # (3,3) c2w rotation (COLMAP w2c transposed)
+    T: np.ndarray                # (3,) w2c translation
+    fovx: float
+    fovy: float
+    width: int
+    height: int
+    image: np.ndarray | None = None      # (3,H,W) f32
+    normal: np.ndarray | None = None     # (3,H,W) f32
+    depth: np.ndarray | None = None      # (H,W) f32
+    mask: np.ndarray | None = None       # (H,W) int
+    znear: float = 0.01
+    zfar: float = 100.0
+    trans: np.ndarray = field(default_factory=lambda: np.zeros(3))
+    scale: float = 1.0
+
+    @property
+    def world_view_transform(self) -> np.ndarray:
+        """Row-vector w2c (the reference stores the transpose of the column
+        form, scene/cameras.py:68)."""
+        return G.world_to_view(self.R, self.T, self.trans, self.scale).T
+
+    @property
+    def projection_matrix(self) -> np.ndarray:
+        return G.projection_matrix(self.znear, self.zfar, self.fovx,
+                                   self.fovy).T
+
+    @property
+    def full_proj_transform(self) -> np.ndarray:
+        return self.world_view_transform @ self.projection_matrix
+
+    @property
+    def camera_center(self) -> np.ndarray:
+        w = self.world_view_transform
+        return np.linalg.inv(w.T)[:3, 3]
+
+    @property
+    def intrinsics(self) -> np.ndarray:
+        """(4,) fx, fy, cx, cy with the principal point at the center
+        (tools/graphics_utils.py:89-101)."""
+        return np.array([
+            G.fov2focal(self.fovx, self.width),
+            G.fov2focal(self.fovy, self.height),
+            self.width / 2.0, self.height / 2.0], np.float32)
+
+    def arrays(self) -> CameraArrays:
+        h, w = self.height, self.width
+        img = self.image if self.image is not None else np.zeros(
+            (3, h, w), np.float32)
+        return CameraArrays(
+            viewmatrix=self.world_view_transform.astype(np.float32),
+            projmatrix=self.full_proj_transform.astype(np.float32),
+            cam_center=self.camera_center.astype(np.float32),
+            intr=self.intrinsics,
+            tanfov=np.array([math.tan(self.fovx / 2), math.tan(self.fovy / 2)],
+                            np.float32),
+            image=img.astype(np.float32),
+            normal=(self.normal if self.normal is not None else
+                    np.zeros((3, h, w), np.float32)).astype(np.float32),
+            depth=(self.depth if self.depth is not None else
+                   np.zeros((h, w), np.float32)).astype(np.float32),
+            mask=(self.mask if self.mask is not None else
+                  np.zeros((h, w), np.int32)).astype(np.int32),
+            has_normal=np.asarray(self.normal is not None),
+            has_depth=np.asarray(self.depth is not None),
+            has_mask=np.asarray(self.mask is not None),
+            idx=np.asarray(self.idx, np.int32),
+        )

@@ -76,8 +76,7 @@ class GaussianState(NamedTuple):
 
     @property
     def rotation(self):
-        q = self.params.quat
-        return q / jnp.clip(jnp.linalg.norm(q, axis=-1, keepdims=True), 1e-12)
+        return M.safe_normalize(self.params.quat)
 
     @property
     def opacity(self):

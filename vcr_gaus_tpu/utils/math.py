@@ -26,12 +26,18 @@ def inverse_sigmoid(x):
     return jnp.log(x / (1.0 - x))
 
 
+def safe_normalize(v, eps=1e-24):
+    """x / ||x|| with finite gradients at x == 0 (eps inside the sqrt) —
+    needed because inactive padding slots hold zero vectors."""
+    return v * jax.lax.rsqrt(jnp.sum(v * v, axis=-1, keepdims=True) + eps)
+
+
 def quat_to_rotmat(q: jnp.ndarray) -> jnp.ndarray:
     """Normalized quaternion (w,x,y,z) -> rotation matrix.
 
     Matches tools/general_utils.py:98-119 (build_rotation): the quaternion is
     L2-normalized first; layout (N,4) -> (N,3,3)."""
-    q = q / jnp.clip(jnp.linalg.norm(q, axis=-1, keepdims=True), 1e-12)
+    q = safe_normalize(q)
     w, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
     R = jnp.stack(
         [
