@@ -1,0 +1,102 @@
+#!/usr/bin/env python
+"""Benchmark: full training-step throughput (render fwd+bwd, loss stack,
+Adam, densification stats) on a DTU-scale synthetic scene, one chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline assumption: the reference publishes no numbers (BASELINE.md); the
+driver's north star is >=1.5x A100 training iters/sec. A100 VCR-GauS
+iteration time at this scale (~100k gaussians, 800x600, D-Normal recipe) is
+taken as 15 it/s (typical 3DGS-fork wandb `time/iteration` ~60-70 ms);
+vs_baseline = ours / 15.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+A100_BASELINE_ITERS_PER_S = 15.0
+
+N_GAUSSIANS = 100_000
+CAPACITY = 131_072
+WIDTH, HEIGHT = 800, 600
+WARMUP, ITERS = 10, 50
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from vcr_gaus_tpu.data.cameras import Camera
+    from vcr_gaus_tpu.models import gaussians as GM
+    from vcr_gaus_tpu.render.renderer import RenderConfig
+    from vcr_gaus_tpu.train.trainer import Gates, NetState, make_train_step
+    from vcr_gaus_tpu.config import default_config
+
+    rng = np.random.default_rng(0)
+    # surface-like cloud (sphere shell) approximating a trained DTU scan
+    theta = rng.uniform(0, 2 * np.pi, N_GAUSSIANS)
+    z = rng.uniform(-1, 1, N_GAUSSIANS)
+    r = np.sqrt(1 - z ** 2)
+    pts = np.stack([r * np.cos(theta), r * np.sin(theta), z],
+                   1).astype(np.float32)
+    pts = pts * 1.5 + np.array([0, 0, 4.0], np.float32)
+    cols = rng.uniform(0, 1, (N_GAUSSIANS, 3)).astype(np.float32)
+    state = GM.create_from_pcd(pts, cols, CAPACITY, sh_degree=3)
+
+    cams = []
+    for i in range(8):
+        ang = 2 * np.pi * i / 8
+        img = rng.uniform(0, 1, (3, HEIGHT, WIDTH)).astype(np.float32)
+        nrm = rng.normal(size=(3, HEIGHT, WIDTH)).astype(np.float32)
+        nrm /= np.linalg.norm(nrm, axis=0, keepdims=True)
+        cams.append(Camera(
+            colmap_id=i, idx=i, image_name=f"b{i}",
+            R=np.eye(3), T=np.array([0.3 * np.cos(ang), 0.3 * np.sin(ang),
+                                     0.0]),
+            fovx=0.9, fovy=0.7, width=WIDTH, height=HEIGHT,
+            image=img, normal=nrm).arrays())
+
+    cfg = default_config()
+    weights = {"l1": 0.8, "ssim": 0.2, "mono_normal": 0.01,
+               "depth_normal": 0.015, "l1_scale": 1.0}
+    rcfg = RenderConfig(width=WIDTH, height=HEIGHT, ch_sem=0,
+                        depth_mode="intersection",
+                        entry_budget=1 << 21, mask_depth_thr=0.8)
+    step = make_train_step(cfg, rcfg, weights, 4.0,
+                           np.zeros(3, np.float32),
+                           np.full(3, 4.0, np.float32), 0, None, None)
+    net = NetState(None, None, None, None, None)
+    gates = Gates(True, True, False, False, True)
+    bg = jnp.zeros(3)
+    lr = jnp.asarray(1.6e-4)
+
+    for i in range(WARMUP):
+        state, net, losses, aux = step(state, net, cams[i % 8], bg, lr,
+                                       sh_degree=3, gates=gates)
+    jax.block_until_ready(state.params.xyz)
+    assert not bool(aux["overflow"]), "entry budget overflow in bench"
+
+    t0 = time.time()
+    for i in range(ITERS):
+        state, net, losses, aux = step(state, net, cams[i % 8], bg, lr,
+                                       sh_degree=3, gates=gates)
+    jax.block_until_ready(state.params.xyz)
+    dt = (time.time() - t0) / ITERS
+    its = 1.0 / dt
+
+    print(json.dumps({
+        "metric": "train_step_throughput",
+        "value": round(its, 3),
+        "unit": "iters/sec (100k gaussians, 800x600, D-Normal recipe)",
+        "vs_baseline": round(its / A100_BASELINE_ITERS_PER_S, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,78 @@
+"""Scene loading from a synthetic COLMAP layout."""
+
+import os
+
+import numpy as np
+import pytest
+
+from fixtures import write_colmap_scene
+from vcr_gaus_tpu.data.scene import (camera_to_json, load_scene_info,
+                                     read_colmap_scene)
+
+
+@pytest.fixture(scope="module")
+def scene_dir(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("cube_scene"))
+    write_colmap_scene(root, with_priors=True)
+    return root
+
+
+def test_read_colmap_scene(scene_dir):
+    info = read_colmap_scene(scene_dir, eval_split=False, resolution=1)
+    assert len(info.train_cameras) == 8
+    assert len(info.test_cameras) == 0
+    assert info.points.shape[1] == 3
+    assert info.radius > 0
+    # meta.json derived + persisted
+    assert os.path.exists(os.path.join(scene_dir, "meta.json"))
+    cam = info.train_cameras[0]
+    assert cam.image.shape == (3, 48, 64)
+    assert 0 <= cam.image.min() and cam.image.max() <= 1
+    # camera geometry: all cameras look at the cube => center projects inside
+    for c in info.train_cameras:
+        w2c = c.world_view_transform            # row-vector
+        p = np.array([0, 0, 0, 1.0]) @ w2c
+        assert p[2] > 0                          # in front of camera
+    # cameras.json entry roundtrip
+    j = camera_to_json(0, cam)
+    assert j["width"] == 64 and len(j["position"]) == 3
+
+
+def test_eval_split_llffhold(scene_dir):
+    info = read_colmap_scene(scene_dir, eval_split=True, llffhold=4,
+                             resolution=1)
+    assert len(info.test_cameras) == 2
+    assert len(info.train_cameras) == 6
+
+
+def test_priors_loaded(scene_dir):
+    info = read_colmap_scene(scene_dir, eval_split=False, load_normal=True,
+                             load_mask=True, resolution=1)
+    cam = info.train_cameras[0]
+    assert cam.normal is not None and cam.normal.shape == (3, 48, 64)
+    assert cam.mask is not None and cam.mask.shape == (48, 64)
+    arr = cam.arrays()
+    assert bool(arr.has_normal) and bool(arr.has_mask)
+
+
+def test_dispatch(scene_dir):
+    info = load_scene_info(scene_dir, resolution=1)
+    assert len(info.train_cameras) == 8
+
+
+def test_resolution_downscale(scene_dir):
+    info = read_colmap_scene(scene_dir, eval_split=False, resolution=2)
+    cam = info.train_cameras[0]
+    assert cam.image.shape == (3, 24, 32)
+    assert cam.width == 32 and cam.height == 24
+
+
+def test_reprojection_consistency(scene_dir):
+    """Known 3D cube corners project inside the image bounds for each cam."""
+    info = read_colmap_scene(scene_dir, eval_split=False, resolution=1)
+    corners = np.array([[1, 1, 1], [-1, -1, -1], [1, -1, 1.0]])
+    for cam in info.train_cameras:
+        hom = np.concatenate([corners, np.ones((3, 1))], 1)
+        clip = hom @ cam.full_proj_transform
+        ndc = clip[:, :3] / clip[:, 3:4]
+        assert np.all(np.abs(ndc[:, :2]) < 1.2)

@@ -1,0 +1,87 @@
+"""Novel-view-synthesis metrics + render sweeps.
+
+PSNR/SSIM match evaluation/metrics.py:19-30 + the SSIM of
+tools/loss_utils.py. LPIPS requires pretrained VGG weights, which this
+offline image cannot download — `lpips()` returns None unless a weights file
+is provided (evaluation/lpipsPyTorch equivalent is gated, not vendored).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..train.losses import ssim as _ssim
+
+
+def psnr(img: np.ndarray, gt: np.ndarray) -> float:
+    mse = np.mean((np.asarray(img, np.float64)
+                   - np.asarray(gt, np.float64)) ** 2)
+    return float(-10.0 * np.log10(mse + 1e-12))
+
+
+def ssim(img, gt) -> float:
+    return float(_ssim(jnp.asarray(img), jnp.asarray(gt)))
+
+
+def lpips(img, gt, weights_path: str | None = None):
+    """Gated LPIPS(vgg): needs a local torchvision-style VGG16 weights file
+    (zero-egress image). Returns None when unavailable."""
+    if weights_path is None or not os.path.exists(weights_path):
+        return None
+    raise NotImplementedError(
+        "provide VGG16 weights and wire lpips here when assets are present")
+
+
+def render_sets(state, cameras, rcfg, bg, out_dir: str, sh_degree: int = 3,
+                scene_extent: float = 1e9, save_gt: bool = True):
+    """Render a camera list to renders/ + gt/ PNG pairs
+    (evaluation/render.py:28-55)."""
+    from PIL import Image
+
+    from ..render.renderer import render
+    os.makedirs(os.path.join(out_dir, "renders"), exist_ok=True)
+    if save_gt:
+        os.makedirs(os.path.join(out_dir, "gt"), exist_ok=True)
+
+    def to_u8(x):
+        return (np.clip(np.asarray(x), 0, 1).transpose(1, 2, 0)
+                * 255).astype(np.uint8)
+
+    for i, cam in enumerate(cameras):
+        arr = cam.arrays() if hasattr(cam, "arrays") else cam
+        out = render(state, arr, rcfg, jnp.asarray(bg), sh_degree,
+                     scene_extent=scene_extent)
+        Image.fromarray(to_u8(out["render"])).save(
+            os.path.join(out_dir, "renders", f"{i:05d}.png"))
+        if save_gt:
+            Image.fromarray(to_u8(arr.image)).save(
+                os.path.join(out_dir, "gt", f"{i:05d}.png"))
+
+
+def evaluate_dir(out_dir: str) -> dict:
+    """PSNR/SSIM over saved renders vs gt (evaluation/metrics.py:42-95);
+    writes results.json + per_view.json."""
+    from PIL import Image
+    rdir = os.path.join(out_dir, "renders")
+    gdir = os.path.join(out_dir, "gt")
+    names = sorted(os.listdir(rdir))
+    per_view: dict[str, dict] = {}
+    for n in names:
+        r = np.asarray(Image.open(os.path.join(rdir, n)),
+                       np.float32).transpose(2, 0, 1) / 255.0
+        g = np.asarray(Image.open(os.path.join(gdir, n)),
+                       np.float32).transpose(2, 0, 1) / 255.0
+        per_view[n] = {"psnr": psnr(r, g), "ssim": ssim(r, g)}
+    results = {
+        "PSNR": float(np.mean([v["psnr"] for v in per_view.values()])),
+        "SSIM": float(np.mean([v["ssim"] for v in per_view.values()])),
+    }
+    with open(os.path.join(out_dir, "results.json"), "w") as f:
+        json.dump(results, f, indent=2)
+    with open(os.path.join(out_dir, "per_view.json"), "w") as f:
+        json.dump(per_view, f, indent=2)
+    return results

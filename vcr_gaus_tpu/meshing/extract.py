@@ -1,0 +1,90 @@
+"""Mesh extraction pipeline: render depth sweep -> TSDF fusion -> marching
+tetrahedra -> cleanup (the reference's tools/depth2mesh.py main/tsdf_fusion).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.cameras import Camera
+from ..models.gaussians import GaussianState
+from ..render.renderer import RenderConfig, render
+from ..utils import math as M
+from . import tsdf as T
+
+
+def extract_mesh_from_state(
+    state: GaussianState,
+    cameras: list[Camera],
+    rcfg: RenderConfig,
+    trans,
+    scale,
+    voxel_size: float = 0.004,
+    alpha_thr: float = 0.5,
+    stride: int = 1,
+    max_depth: float | None = None,
+    sem_classifier=None,
+    background_cls: int = 0,
+    min_weight: float = 1.0,
+    n_clusters: int = 1,
+    sh_degree: int = 3,
+    scene_extent: float = 1e9,
+    bg_color=None,
+    progress=None,
+):
+    """Fuse depth renders from every ``stride``-th camera and extract the
+    isosurface. Returns (verts (V,3), faces (F,3)).
+
+    Depth masking per view (tools/depth2mesh.py:45-58): alpha < thr -> 0,
+    backprojected point outside the meta box -> 0, semantic background -> 0,
+    beyond max_depth -> 0."""
+    grid = T.create_grid(trans, scale, voxel_size)
+    transj = jnp.asarray(np.asarray(trans, np.float32))
+    scalej = jnp.asarray(np.asarray(scale, np.float32))
+
+    for idx, cam in enumerate(cameras[::stride]):
+        arr = cam.arrays() if isinstance(cam, Camera) else cam
+        out = render(state, arr, rcfg, bg_color if bg_color is not None
+                     else jnp.zeros(3), sh_degree, scene_extent=scene_extent)
+        depth = out["depth"]
+        alpha = out["alpha"]
+        depth = jnp.where(alpha > alpha_thr, depth / jnp.maximum(alpha, 1e-6),
+                          0.0)
+        if max_depth is not None:
+            depth = jnp.where(depth < max_depth, depth, 0.0)
+        # backproject and zero points outside the box
+        from ..utils import graphics as G
+        K = jnp.asarray([[arr.intr[0], 0, arr.intr[2]],
+                         [0, arr.intr[1], arr.intr[3]],
+                         [0, 0, 1]])
+        _, world = G.depth_to_points_world(depth, K,
+                                           jnp.asarray(arr.viewmatrix))
+        inside, _ = M.get_inside_normalized(world.reshape(-1, 3), transj,
+                                            scalej, bound=1.0)
+        inside = inside.reshape(depth.shape)
+        depth = jnp.where(inside, depth, 0.0)
+        if sem_classifier is not None and "render_sem" in out:
+            labels = jnp.argmax(out["render_sem"], axis=0)
+            depth = jnp.where(labels != background_cls, depth, 0.0)
+        grid = T.integrate(grid, depth, jnp.asarray(arr.viewmatrix),
+                           jnp.asarray(arr.intr))
+        if progress is not None:
+            progress(idx)
+
+    return T.extract_mesh(grid, min_weight=min_weight, n_clusters=n_clusters)
+
+
+def save_mesh_ply(path: str, verts: np.ndarray, faces: np.ndarray) -> None:
+    from ..utils.ply import write_ply
+    write_ply(path, {"x": verts[:, 0].astype(np.float32),
+                     "y": verts[:, 1].astype(np.float32),
+                     "z": verts[:, 2].astype(np.float32)}, faces=faces)
+
+
+def load_mesh_ply(path: str):
+    from ..utils.ply import read_ply
+    d = read_ply(path)
+    verts = np.stack([d["x"], d["y"], d["z"]], 1)
+    return verts, d.get("__faces__", np.zeros((0, 3), np.int64))

@@ -117,10 +117,9 @@ def render(
     depth = wd_sum                      # alpha-weighted depth (fork semantics)
 
     # post-kernel channel processing (gaussian_renderer/__init__.py:122-137)
+    from ..utils.math import safe_normalize as _sn
     mask = depth < scene_extent * cfg.mask_depth_thr
-    nrm_hw3 = jnp.moveaxis(nrm, 0, -1)
-    nrm_hw3 = nrm_hw3 / jnp.clip(
-        jnp.linalg.norm(nrm_hw3, axis=-1, keepdims=True), 1e-12)
+    nrm_hw3 = _sn(jnp.moveaxis(nrm, 0, -1))
     K = jnp.asarray([[cam.intr[0], 0, cam.intr[2]],
                      [0, cam.intr[1], cam.intr[3]],
                      [0, 0, 1]])

@@ -1,0 +1,404 @@
+"""Training loop: jitted step + host-side schedule.
+
+TPU re-design of the reference Trainer (trainer.py:42-710). The per-iteration
+work (render -> loss assembly -> backward -> Adam -> densification stats) is
+ONE jitted function over the fixed-capacity state; the host loop only handles
+the schedule (LR, SH warmup, densify interval, opacity reset, LightGaussian
+prune, eval/save) and per-step camera selection.
+
+Loss assembly mirrors trainer.py:233-321; every loss cites its source there.
+Static "gates" (the *_from_iter thresholds) are trace-time constants — each
+threshold crossing recompiles once.
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import math
+import os
+import random
+import time
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..data.cameras import Camera, CameraArrays
+from ..data.scene import SceneInfo, camera_to_json, load_scene_info
+from ..models import appearance as APP
+from ..models import gaussians as GM
+from ..models import ply_io
+from ..render.renderer import RenderConfig, render, render_stats
+from ..utils import math as M
+from . import losses as L
+
+
+class NetState(NamedTuple):
+    """Side networks + their optax states (all optional pytrees or None)."""
+    app_embeddings: Any
+    app_params: Any
+    app_opt: Any
+    cls_params: Any
+    cls_opt: Any
+
+
+class Gates(NamedTuple):
+    """Static loss gates resolved per compile (trainer.py:263-305)."""
+    mono_normal: bool
+    depth_normal: bool
+    curv: bool
+    consistent_normal: bool
+    close_depth: bool
+
+
+def compute_losses(out, cam: CameraArrays, state: GM.GaussianState,
+                   weights: dict, gates: Gates, cfg, net: NetState,
+                   inside_mask, num_cls: int):
+    """The reference's _compute_loss (trainer.py:233-308), jit-able."""
+    losses = {}
+    gt = cam.image
+    if net.app_params is not None:
+        transformed, (top, left, h, w) = APP.appearance_transform(
+            net.app_params, net.app_embeddings, out["render"], cam.idx)
+        gt_crop = jax.lax.dynamic_slice(gt, (0, top, left), (3, h, w))
+        losses["l1"] = L.l1_loss(transformed, gt_crop)
+    else:
+        losses["l1"] = L.l1_loss(out["render"], gt)
+    losses["ssim"] = 1.0 - L.ssim(out["render"], gt)
+
+    act = state.active
+    if weights.get("l1_scale", 0) > 0:
+        min_scale = jnp.min(state.scaling, -1)
+        m = (act & inside_mask).astype(jnp.float32)
+        losses["l1_scale"] = jnp.sum(min_scale * m) / jnp.maximum(m.sum(), 1.0)
+    if weights.get("entropy", 0) > 0:
+        losses["entropy"] = L.entropy_loss(state.opacity[:, 0],
+                                           act & inside_mask)
+    if weights.get("mono_depth", 0) > 0:
+        m = (out["depth"] > 0) & cam.has_depth
+        losses["mono_depth"] = L.scale_and_shift_invariant_depth_loss(
+            out["depth"], cam.depth, m.astype(jnp.float32))
+    gt_normal = jnp.moveaxis(cam.normal, 0, -1)           # (H,W,3)
+    if weights.get("mono_normal", 0) > 0 and gates.mono_normal:
+        losses["mono_normal"] = L.monosdf_normal_loss(out["normal"],
+                                                      gt_normal)
+    if weights.get("depth_normal", 0) > 0 and gates.depth_normal:
+        w_conf = L.cos_weight(jax.lax.stop_gradient(out["normal"]),
+                              gt_normal, cfg.optim.exp_t)
+        losses["depth_normal"] = L.masked_monosdf_normal_loss(
+            out["est_normal"], gt_normal, out["mask"], w_conf)
+        if weights.get("curv", 0) > 0 and gates.curv:
+            curv = L.normal2curv(out["est_normal"],
+                                 out["mask"][..., None].astype(jnp.float32))
+            losses["curv"] = jnp.abs(curv).mean()
+    if weights.get("consistent_normal", 0) > 0 and gates.consistent_normal:
+        losses["consistent_normal"] = L.monosdf_normal_loss(
+            out["est_normal"], out["normal"])
+    if weights.get("distortion", 0) > 0 and gates.close_depth:
+        losses["distortion"] = L.edge_aware_distortion_map(
+            gt, out["distortion"]).mean()
+    if weights.get("depth_var", 0) > 0 and gates.close_depth:
+        losses["depth_var"] = L.edge_aware_distortion_map(
+            gt, out["depth_var"]).mean()
+    if weights.get("semantic", 0) > 0:
+        losses["semantic"] = L.semantic_cross_entropy(
+            out["render_sem"], cam.mask, num_cls)
+
+    total = jnp.asarray(0.0)
+    for name, w in weights.items():
+        if name in losses:
+            total = total + w * losses[name]
+    losses["total"] = total
+    return total, losses
+
+
+def make_train_step(cfg, rcfg: RenderConfig, weights: dict,
+                    scene_extent: float, trans, scale, num_cls: int,
+                    app_tx, cls_tx):
+    """Build the jitted train step for fixed static gates + sh degree."""
+
+    @functools.partial(jax.jit, static_argnames=("sh_degree", "gates"))
+    def train_step(state: GM.GaussianState, net: NetState,
+                   cam: CameraArrays, bg, lr_xyz, sh_degree: int,
+                   gates: Gates):
+        inside_mask, _ = M.get_inside_normalized(state.params.xyz,
+                                                 jnp.asarray(trans),
+                                                 jnp.asarray(scale))
+
+        def loss_fn(params, dummy, app_emb, app_params, cls_params):
+            st = state._replace(params=params)
+            classifier = None
+            if cls_params is not None:
+                clf = APP.SemanticClassifier(num_cls)
+                classifier = lambda f: clf.apply(cls_params, f)
+            out = render(st, cam, rcfg, bg, sh_degree,
+                         scene_extent=scene_extent, classifier=classifier,
+                         densify_dummy=dummy)
+            net2 = net._replace(app_embeddings=app_emb,
+                                app_params=app_params)
+            total, losses = compute_losses(out, cam, st, weights, gates,
+                                           cfg, net2, inside_mask, num_cls)
+            return total, (losses, out)
+
+        dummy = jnp.zeros((state.capacity, 2), jnp.float32)
+        grad_fn = jax.value_and_grad(
+            loss_fn, argnums=(0, 1, 2, 3, 4), has_aux=True)
+        (total, (losses, out)), grads = grad_fn(
+            state.params, dummy, net.app_embeddings, net.app_params,
+            net.cls_params)
+        g_params, g_dummy, g_emb, g_app, g_cls = grads
+
+        # gaussian Adam
+        g_params = GM.mask_grads(g_params, state.active)
+        lrs = GM.LearningRates(
+            xyz=lr_xyz, f_dc=cfg.optim.feature_lr,
+            f_rest=cfg.optim.feature_lr / 20.0,
+            opacity=cfg.optim.opacity_lr, scaling=cfg.optim.scaling_lr,
+            rotation=cfg.optim.rotation_lr, obj_dc=cfg.optim.feature_lr)
+        new_state = GM.adam_step(state, g_params, lrs)
+
+        # densification statistics (trainer.py:343-347)
+        new_state = GM.add_densification_stats(
+            new_state, g_dummy, out["radii"], out["visibility_filter"])
+
+        # side networks
+        new_net = net
+        if net.app_params is not None:
+            upd, new_opt = app_tx.update((g_emb, g_app), net.app_opt,
+                                         (net.app_embeddings, net.app_params))
+            new_emb, new_app = optax.apply_updates(
+                (net.app_embeddings, net.app_params), upd)
+            new_net = new_net._replace(app_embeddings=new_emb,
+                                       app_params=new_app, app_opt=new_opt)
+        if net.cls_params is not None:
+            upd, new_opt = cls_tx.update(g_cls, net.cls_opt, net.cls_params)
+            new_net = new_net._replace(
+                cls_params=optax.apply_updates(net.cls_params, upd),
+                cls_opt=new_opt)
+
+        aux = {"overflow": out["overflow"], "num_entries": out["num_entries"],
+               "n_active": new_state.num_active}
+        return new_state, new_net, losses, aux
+
+    return train_step
+
+
+class Trainer:
+    """Host-side orchestration (reference Trainer, trainer.py:42-210)."""
+
+    def __init__(self, cfg):
+        self.cfg = cfg
+        w = {k: float(v) for k, v in cfg.optim.loss_weight.items()
+             if float(v) > 0}
+        self.weights = w
+        # derive data-loading flags from the loss recipe (trainer.py:46-53)
+        load_normal = ("mono_normal" in w or "depth_normal" in w)
+        load_depth = "mono_depth" in w
+        load_mask = "semantic" in w
+
+        self.scene = load_scene_info(
+            cfg.model.source_path, images_dir=cfg.model.images,
+            eval_split=cfg.model.eval, llffhold=cfg.model.llffhold,
+            ratio=cfg.model.ratio, use_meta_split=cfg.model.split,
+            load_depth=load_depth, load_normal=load_normal,
+            load_mask=load_mask, normal_folder=cfg.model.normal_folder,
+            depth_folder=cfg.model.depth_folder,
+            resolution=cfg.model.resolution)
+        info = self.scene
+        self.extent = info.radius
+        self.trans = np.asarray(info.trans, np.float32)
+        self.scale = np.asarray(info.scale, np.float32)
+
+        n_init = len(info.points)
+        cap = int(cfg.tpu.capacity) or _auto_capacity(n_init)
+        ch_sem = cfg.model.ch_sem_feat if w.get("semantic", 0) > 0 else 0
+        self.ch_sem = ch_sem
+        self.num_cls = cfg.model.num_cls
+        self.state = GM.create_from_pcd(
+            info.points.astype(np.float32), info.colors.astype(np.float32),
+            cap, cfg.model.sh_degree, ch_sem)
+
+        cam0 = info.train_cameras[0]
+        self.rcfg = RenderConfig(
+            width=cam0.width, height=cam0.height, ch_sem=ch_sem,
+            depth_mode=cfg.model.depth_type,
+            entry_budget=max(1 << 14, cfg.tpu.entry_budget_factor * cap),
+            mask_depth_thr=(cfg.optim.mask_depth_thr
+                            if cfg.optim.mask_depth_thr > 0 else 1e9),
+            max_sh_degree=cfg.model.sh_degree)
+
+        # side networks
+        rng = jax.random.PRNGKey(cfg.seed)
+        app_emb = app_params = app_opt = None
+        cls_params = cls_opt = None
+        self.app_tx = optax.adam(cfg.optim.appearance_embeddings_lr,
+                                 eps=1e-15)
+        self.cls_tx = optax.adam(cfg.optim.cls_lr, eps=1e-15)
+        if cfg.model.use_decoupled_appearance:
+            n_imgs = len(info.train_cameras) + len(info.test_cameras)
+            app_emb, app_params = APP.init_appearance(
+                rng, n_imgs, cam0.height, cam0.width)
+            app_opt = self.app_tx.init((app_emb, app_params))
+        if ch_sem:
+            clf = APP.SemanticClassifier(cfg.model.num_cls)
+            cls_params = clf.init(rng, jnp.zeros((ch_sem, 8, 8)))
+            cls_opt = self.cls_tx.init(cls_params)
+        self.net = NetState(app_emb, app_params, app_opt, cls_params,
+                            cls_opt)
+
+        self._step_fn = make_train_step(
+            cfg, self.rcfg, w, self.extent, self.trans, self.scale,
+            cfg.model.num_cls, self.app_tx, self.cls_tx)
+        self._densify_fn = jax.jit(functools.partial(
+            GM.densify_and_prune,
+            grad_threshold=cfg.optim.densify_grad_threshold,
+            min_opacity=0.005, scene_extent=self.extent,
+            percent_dense=cfg.optim.percent_dense),
+            static_argnames=("max_screen_size",))
+        self._reset_opacity = jax.jit(GM.reset_opacity)
+
+        self.iteration = 0
+        self.viewpoint_stack: list[int] = []
+        self.bg = np.array([1, 1, 1] if cfg.model.white_background
+                           else [0, 0, 0], np.float32)
+        self.rng = random.Random(cfg.seed)
+        self.losses_ema: dict[str, float] = {}
+        self.history: list[dict] = []
+        self._cam_arrays = [c.arrays() for c in info.train_cameras]
+
+        os.makedirs(cfg.logdir, exist_ok=True)
+        # run metadata the downstream stages reload (scene/__init__.py:61-73)
+        cams_json = [camera_to_json(i, c) for i, c in enumerate(
+            info.train_cameras + info.test_cameras)]
+        with open(os.path.join(cfg.logdir, "cameras.json"), "w") as f:
+            json.dump(cams_json, f)
+
+    # -- schedule helpers --------------------------------------------------
+
+    def _sh_degree(self) -> int:
+        """SH warmup: +1 every 1000 iters (trainer.py:402-404)."""
+        return min(self.iteration // 1000, self.cfg.model.sh_degree)
+
+    def _gates(self) -> Gates:
+        o = self.cfg.optim
+        it = self.iteration
+        return Gates(
+            mono_normal=it > o.normal_from_iter,
+            depth_normal=it > o.dnormal_from_iter,
+            curv=it > o.curv_from_iter,
+            consistent_normal=it > o.consistent_normal_from_iter,
+            close_depth=it > o.close_depth_from_iter)
+
+    def _lr_xyz(self):
+        o = self.cfg.optim
+        return M.expon_lr(self.iteration, o.position_lr_init * self.extent,
+                          o.position_lr_final * self.extent,
+                          max_steps=o.position_lr_max_steps)
+
+    def _pick_camera(self) -> CameraArrays:
+        if not self.viewpoint_stack:
+            self.viewpoint_stack = list(range(len(self._cam_arrays)))
+        i = self.viewpoint_stack.pop(
+            self.rng.randint(0, len(self.viewpoint_stack) - 1))
+        return self._cam_arrays[i]
+
+    # -- main loop ----------------------------------------------------------
+
+    def train_step(self):
+        self.iteration += 1
+        cam = self._pick_camera()
+        bg = (np.random.default_rng(self.iteration).random(3).astype(
+            np.float32) if self.cfg.optim.random_background else self.bg)
+        self.state, self.net, losses, aux = self._step_fn(
+            self.state, self.net, cam, jnp.asarray(bg), self._lr_xyz(),
+            sh_degree=self._sh_degree(), gates=self._gates())
+
+        o = self.cfg.optim
+        it = self.iteration
+        if it < o.densify_until_iter:
+            if it > o.densify_from_iter and it % o.densification_interval == 0:
+                size_thr = 20 if it > o.opacity_reset_interval else None
+                self.state, dropped = self._densify_fn(
+                    self.state, max_screen_size=size_thr)
+            if it % o.opacity_reset_interval == 0 or (
+                    self.cfg.model.white_background
+                    and it == o.densify_from_iter):
+                self.state = self._reset_opacity(self.state)
+        if it in list(o.prune.iterations):
+            self.light_gaussian_prune(
+                list(o.prune.iterations).index(it))
+        return losses, aux
+
+    def train(self, max_iters: int | None = None, log_every: int = 50):
+        max_iters = max_iters or self.cfg.optim.iterations
+        t0 = time.time()
+        while self.iteration < max_iters:
+            losses, aux = self.train_step()
+            if self.iteration % log_every == 0 or self.iteration == max_iters:
+                rec = {k: float(v) for k, v in losses.items()}
+                rec.update(iter=self.iteration,
+                           n_active=int(aux["n_active"]),
+                           overflow=bool(aux["overflow"]),
+                           time=time.time() - t0)
+                self.history.append(rec)
+            if self.iteration in list(self.cfg.train.save_iterations):
+                self.save()
+            if self.iteration in list(self.cfg.train.checkpoint_iterations):
+                ply_io.save_checkpoint(
+                    os.path.join(self.cfg.logdir,
+                                 f"chkpnt{self.iteration}.npz"),
+                    self.state, self.iteration)
+        return self.history
+
+    # -- LightGaussian prune (trainer.py:376-385) ----------------------------
+
+    def light_gaussian_prune(self, prune_round: int):
+        o = self.cfg.optim.prune
+        imp = jnp.zeros((self.state.capacity,), jnp.float32)
+        for cam in self._cam_arrays:
+            _, imp_c = render_stats(self.state, cam, self.rcfg,
+                                    jnp.asarray(self.bg))
+            imp = imp + imp_c
+        v = GM.v_imp_score(self.state, imp, o.v_pow)
+        self.state = GM.prune_by_importance(
+            self.state, v, (o.decay ** prune_round) * o.percent)
+
+    # -- persistence ---------------------------------------------------------
+
+    def save(self):
+        out = os.path.join(self.cfg.logdir, "point_cloud",
+                           f"iteration_{self.iteration}")
+        os.makedirs(out, exist_ok=True)
+        ply_io.save_gaussian_ply(self.state,
+                                 os.path.join(out, "point_cloud.ply"))
+        inside, _ = M.get_inside_normalized(
+            self.state.params.xyz, jnp.asarray(self.trans),
+            jnp.asarray(self.scale))
+        ply_io.save_inside_ply(
+            self.state, os.path.join(out, "point_cloud_inside.ply"),
+            np.asarray(inside))
+
+    # -- evaluation sweep (trainer.py:504-587) -------------------------------
+
+    def evaluate(self, cameras: list[Camera] | None = None,
+                 max_cams: int = 8) -> dict:
+        cams = ([c.arrays() for c in cameras] if cameras is not None
+                else self._cam_arrays)[:max_cams]
+        psnrs, l1s = [], []
+        for cam in cams:
+            out = render(self.state, cam, self.rcfg, jnp.asarray(self.bg),
+                         self._sh_degree(), scene_extent=self.extent)
+            img = jnp.clip(out["render"], 0, 1)
+            mse = jnp.mean((img - cam.image) ** 2)
+            psnrs.append(float(-10.0 * jnp.log10(mse + 1e-12)))
+            l1s.append(float(L.l1_loss(img, cam.image)))
+        return {"psnr": float(np.mean(psnrs)), "l1": float(np.mean(l1s))}
+
+
+def _auto_capacity(n_init: int) -> int:
+    """Fixed padded capacity: the next power of two above 8x the init count
+    (the densify-growth envelope seen on the reference benchmarks), min 2^16."""
+    return max(1 << 16, 1 << math.ceil(math.log2(max(n_init, 1) * 8)))

@@ -157,6 +157,16 @@ def write_images_binary(images: dict[int, ColmapImage], path: str) -> None:
             f.write(struct.pack("<Q", 0))
 
 
+def write_points3d_binary(xyz: np.ndarray, rgb: np.ndarray,
+                          path: str) -> None:
+    with open(path, "wb") as f:
+        f.write(struct.pack("<Q", len(xyz)))
+        for i in range(len(xyz)):
+            f.write(struct.pack("<Q3d3Bd", i + 1, *xyz[i],
+                                *rgb[i].astype(np.uint8), 1.0))
+            f.write(struct.pack("<Q", 0))
+
+
 def write_cameras_binary(cams: dict[int, ColmapCamera], path: str) -> None:
     with open(path, "wb") as f:
         f.write(struct.pack("<Q", len(cams)))

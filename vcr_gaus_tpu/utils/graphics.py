@@ -121,4 +121,6 @@ def compute_normals_from_depth(depth, K):
     dy = grad_axis(pts, 0)
     dx = grad_axis(pts, 1)
     n = jnp.cross(dx, dy)
-    return n / jnp.clip(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-12)
+    # eps inside the rsqrt keeps gradients finite at degenerate (flat/empty)
+    # pixels — plain x/||x|| has NaN grad at 0
+    return n * jax.lax.rsqrt(jnp.sum(n * n, axis=-1, keepdims=True) + 1e-24)
