@@ -1,0 +1,93 @@
+#!/usr/bin/env python
+"""Mesh extraction CLI (reference tools/depth2mesh.py): load a trained run,
+render a depth sweep, TSDF-fuse, marching tetrahedra, save ours.ply.
+
+  python depth2mesh.py --cfg_path output/scan24/config.yaml \\
+      [--voxel_size 0.004] [--split 1] [--max_depth 3] [--prob_thr 0.5]
+"""
+
+import argparse
+import glob
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+
+def latest_iteration(logdir: str) -> int:
+    dirs = glob.glob(os.path.join(logdir, "point_cloud", "iteration_*"))
+    if not dirs:
+        raise SystemExit(f"no point_cloud/iteration_* under {logdir}")
+    return max(int(os.path.basename(d).split("_")[1]) for d in dirs)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cfg_path", required=True)
+    ap.add_argument("--iteration", type=int, default=-1)
+    ap.add_argument("--voxel_size", type=float, default=None)
+    ap.add_argument("--split", type=int, default=1,
+                    help="use every Nth camera")
+    ap.add_argument("--max_depth", type=float, default=None)
+    ap.add_argument("--prob_thr", type=float, default=0.5)
+    ap.add_argument("--num_cluster", type=int, default=1)
+    ap.add_argument("--mesh_name", default="ours")
+    ap.add_argument("--prune_outliers", action="store_true")
+    args, overrides = ap.parse_known_args()
+
+    from vcr_gaus_tpu.config import Config
+    from vcr_gaus_tpu.data.scene import load_scene_info
+    from vcr_gaus_tpu.meshing.extract import (extract_mesh_from_state,
+                                              save_mesh_ply)
+    from vcr_gaus_tpu.models import ply_io
+    from vcr_gaus_tpu.render.renderer import RenderConfig
+
+    cfg = Config(args.cfg_path, overrides=overrides)
+    logdir = os.path.dirname(os.path.abspath(args.cfg_path))
+    it = args.iteration if args.iteration > 0 else latest_iteration(logdir)
+    ply = os.path.join(logdir, "point_cloud", f"iteration_{it}",
+                       "point_cloud.ply")
+    print(f"loading {ply}")
+    state = ply_io.load_gaussian_ply(ply, max_sh_degree=cfg.model.sh_degree)
+
+    info = load_scene_info(cfg.model.source_path,
+                           images_dir=cfg.model.images,
+                           eval_split=cfg.model.eval,
+                           llffhold=cfg.model.llffhold,
+                           ratio=cfg.model.ratio,
+                           use_meta_split=cfg.model.split,
+                           resolution=cfg.model.resolution)
+    if args.prune_outliers:
+        import jax.numpy as jnp
+
+        from vcr_gaus_tpu.models.gaussians import prune
+        from vcr_gaus_tpu.ops.knn import remove_radius_outlier
+        from vcr_gaus_tpu.utils.math import get_inside_normalized
+        inside, _ = get_inside_normalized(state.params.xyz,
+                                          jnp.asarray(info.trans),
+                                          jnp.asarray(info.scale))
+        keep = remove_radius_outlier(state.params.xyz, nb_points=5,
+                                     radius=0.01 * info.radius)
+        state = prune(state, ~(keep & inside) & state.active)
+
+    cam0 = info.train_cameras[0]
+    rcfg = RenderConfig(width=cam0.width, height=cam0.height,
+                        depth_mode=cfg.model.depth_type,
+                        entry_budget=1 << 21,
+                        mask_depth_thr=1e9)
+    voxel = args.voxel_size or float(cfg.model.mesh.voxel_size)
+    verts, faces = extract_mesh_from_state(
+        state, info.train_cameras, rcfg, info.trans, info.scale,
+        voxel_size=voxel, alpha_thr=args.prob_thr, stride=args.split,
+        max_depth=args.max_depth, n_clusters=args.num_cluster,
+        sh_degree=cfg.model.sh_degree, scene_extent=info.radius,
+        progress=lambda i: print(f"  fused view {i}", end="\r"))
+    out = os.path.join(logdir, f"{args.mesh_name}.ply")
+    save_mesh_ply(out, verts, faces)
+    print(f"\nwrote {out}: {len(verts)} verts, {len(faces)} faces")
+
+
+if __name__ == "__main__":
+    main()

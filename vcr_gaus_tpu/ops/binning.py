@@ -79,9 +79,16 @@ def bin_gaussians(
     total = offsets[-1] + count[-1]
     overflow = total > entry_budget
 
+    # expand counts to per-entry gaussian ids WITHOUT searchsorted (XLA's
+    # searchsorted is scalarized on TPU, ~100ms at this size): scatter each
+    # non-empty gaussian's index at its first entry slot, then forward-fill
+    # with a prefix max. Non-empty gaussians have unique offsets; empty ones
+    # are dropped (their index must not appear).
     e = jnp.arange(entry_budget, dtype=jnp.int32)
-    gid = jnp.searchsorted(offsets + count, e, side="right").astype(jnp.int32)
-    gid = jnp.clip(gid, 0, n - 1)
+    first_slot = jnp.where(count > 0, offsets, entry_budget)   # drop empties
+    marks = jnp.zeros((entry_budget,), jnp.int32).at[first_slot].max(
+        jnp.arange(n, dtype=jnp.int32), mode="drop")
+    gid = jax.lax.cummax(marks)
     slot = e - offsets[gid]
     valid = (e < total) & (slot >= 0) & (slot < count[gid])
 
@@ -97,11 +104,11 @@ def bin_gaussians(
     )
     sorted_gid = jnp.where(sorted_tile < num_tiles, sorted_gid, n).astype(jnp.int32)
 
-    # compact per-tile ranges
-    compact_starts = jnp.searchsorted(
-        sorted_tile, jnp.arange(num_tiles + 1, dtype=jnp.int32), side="left"
-    ).astype(jnp.int32)
-    tile_counts = compact_starts[1:] - compact_starts[:-1]          # (T,)
+    # per-tile counts via bincount (scatter-add), starts via cumsum
+    tile_counts = jnp.zeros((num_tiles + 1,), jnp.int32).at[sorted_tile].add(
+        1, mode="drop")[:num_tiles]
+    compact_starts = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(tile_counts)])
 
     # aligned layout: region t = [a[t], a[t] + round_up(count, align)),
     # regions exactly partition [0, a[T]).
@@ -111,16 +118,19 @@ def bin_gaussians(
 
     e_al = aligned_budget(entry_budget, num_tiles, align)
     j = jnp.arange(e_al, dtype=jnp.int32)
-    t_of_j = (jnp.searchsorted(a, j, side="right") - 1).astype(jnp.int32)
-    t_of_j = jnp.clip(t_of_j, 0, num_tiles - 1)
+    # tile-of-slot via the same scatter-max + cummax forward fill
+    start_slot = jnp.where(padded > 0, a[:-1], e_al)
+    tmarks = jnp.zeros((e_al,), jnp.int32).at[start_slot].max(
+        jnp.arange(num_tiles, dtype=jnp.int32), mode="drop")
+    t_of_j = jax.lax.cummax(tmarks)
     off = j - a[t_of_j]
-    val = off < tile_counts[t_of_j]
+    val = (off >= 0) & (off < tile_counts[t_of_j])
     src = jnp.clip(compact_starts[t_of_j] + off, 0, entry_budget - 1)
     gid_al = jnp.where(val, sorted_gid[src], n).astype(jnp.int32)
 
-    return Binning(sorted_gid=gid_al, tile_starts=a[:-1],
-                   tile_counts=tile_counts, num_entries=total,
-                   overflow=overflow)
+    return Binning(sorted_gid=gid_al, tile_starts=a[:-1].astype(jnp.int32),
+                   tile_counts=tile_counts.astype(jnp.int32),
+                   num_entries=total, overflow=overflow)
 
 
 def cdiv_arr(x: jnp.ndarray, m: int) -> jnp.ndarray:

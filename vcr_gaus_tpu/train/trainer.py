@@ -321,8 +321,9 @@ class Trainer:
         if it < o.densify_until_iter:
             if it > o.densify_from_iter and it % o.densification_interval == 0:
                 size_thr = 20 if it > o.opacity_reset_interval else None
+                box_mask = self._box_densify_mask()
                 self.state, dropped = self._densify_fn(
-                    self.state, max_screen_size=size_thr)
+                    self.state, box_mask=box_mask, max_screen_size=size_thr)
             if it % o.opacity_reset_interval == 0 or (
                     self.cfg.model.white_background
                     and it == o.densify_from_iter):
@@ -352,6 +353,50 @@ class Trainer:
                                  f"chkpnt{self.iteration}.npz"),
                     self.state, self.iteration)
         return self.history
+
+    # -- box-guided densification (trainer.py:361-368, 687-702) --------------
+
+    def get_visi_mask_acc(self, n: int, up: bool, around: bool,
+                          sample_mode: str = "random"):
+        """Per-Gaussian visibility from cameras sampled on the scene box
+        (get_visi_mask_acc, trainer.py:687-702): accumulate stats-kernel hit
+        counts over the sampled views; visible & inside-box."""
+        from ..data.box_cameras import sample_box_cameras
+        if getattr(self.cfg.optim.densify_large.sample_cams, "random", True):
+            size = int(getattr(self.cfg.tpu, "visi_resolution", 512))
+            cams = sample_box_cameras(
+                n, self.trans, self.scale, up=up, around=around,
+                sample_mode=sample_mode, size=size, seed=self.iteration)
+            rcfg_v = self.rcfg._replace(width=size, height=size, ch_sem=0)
+        else:
+            cams = [self._cam_arrays[self.rng.randint(
+                0, len(self._cam_arrays) - 1)] for _ in range(n)]
+            rcfg_v = self.rcfg
+        count = jnp.zeros((self.state.capacity,), jnp.float32)
+        for cam in cams:
+            c, _ = render_stats(self.state, cam, rcfg_v, jnp.asarray(self.bg))
+            count = count + c
+        visi = count > 0
+        inside, _ = M.get_inside_normalized(
+            self.state.params.xyz, jnp.asarray(self.trans),
+            jnp.asarray(self.scale))
+        return visi & inside
+
+    def _box_densify_mask(self):
+        """The densify_large gate (gaussian_model.py:588-596): large inside
+        visible gaussians are force-split regardless of gradients."""
+        o = self.cfg.optim
+        dl = getattr(o, "densify_large", None)
+        if not dl or float(getattr(dl, "percent_dense", 0) or 0) <= 0:
+            return None
+        sc = dl.sample_cams
+        if int(getattr(sc, "num", 0)) <= 0:
+            return None
+        visi = self.get_visi_mask_acc(int(sc.num), bool(sc.up),
+                                      bool(sc.around), sample_mode="random")
+        large = jnp.max(self.state.scaling, -1) > (
+            float(dl.percent_dense) * self.extent)
+        return visi & large
 
     # -- LightGaussian prune (trainer.py:376-385) ----------------------------
 
