@@ -68,12 +68,11 @@ def make_scene(n=60, seed=0, ch_sem=CH_SEM):
 def run_both(feats, radius, cam, depth_mode, ch_sem=CH_SEM):
     depth_z = feats[:, PF.F_DEPTH_Z]
     mean2d = feats[:, [PF.F_MEAN_X, PF.F_MEAN_Y]]
-    binn = B.bin_gaussians(mean2d, radius, depth_z, W, H, R.TILE,
-                           entry_budget=4096)
-    assert not bool(binn.overflow)
     dummy = jnp.zeros((feats.shape[0], 2))
-    out = R.rasterize_image(feats, dummy, binn, jnp.asarray(cam), W, H,
-                            ch_sem, depth_mode)
+    out, binn = R.rasterize_image(feats, dummy, mean2d, radius, depth_z,
+                                  jnp.asarray(cam), W, H, ch_sem, depth_mode,
+                                  entry_budget=4096)
+    assert not bool(binn.overflow)
     order = REF.depth_order(depth_z, radius)
     ref = REF.composite_reference(
         feats, order, H, W, jnp.asarray(cam[4:7]), ch_sem,
@@ -102,15 +101,16 @@ def test_backward_matches_oracle_autodiff(depth_mode):
     feats, radius, cam = make_scene(n=40, seed=1)
     depth_z = feats[:, PF.F_DEPTH_Z]
     mean2d = feats[:, [PF.F_MEAN_X, PF.F_MEAN_Y]]
-    binn = B.bin_gaussians(mean2d, radius, depth_z, W, H, R.TILE,
-                           entry_budget=4096)
     order = REF.depth_order(depth_z, radius)
     rng = np.random.default_rng(3)
     g_img = jnp.asarray(rng.normal(size=(9 + CH_SEM, H, W)).astype(np.float32))
 
     def loss_pallas(f):
-        out = R.rasterize_image(f, jnp.zeros((f.shape[0], 2)), binn,
-                                jnp.asarray(cam), W, H, CH_SEM, depth_mode)
+        # geometry fixed at the primal values (matches the custom-autograd
+        # boundary: binning is non-differentiable)
+        out, _ = R.rasterize_image(f, jnp.zeros((f.shape[0], 2)), mean2d,
+                                   radius, depth_z, jnp.asarray(cam), W, H,
+                                   CH_SEM, depth_mode, entry_budget=4096)
         return jnp.sum(out * g_img)
 
     def loss_ref(f):
@@ -129,14 +129,13 @@ def test_densify_dummy_grad_is_abs_accumulation():
     feats, radius, cam = make_scene(n=30, seed=2, ch_sem=0)
     depth_z = feats[:, PF.F_DEPTH_Z]
     mean2d = feats[:, [PF.F_MEAN_X, PF.F_MEAN_Y]]
-    binn = B.bin_gaussians(mean2d, radius, depth_z, W, H, R.TILE,
-                           entry_budget=4096)
     rng = np.random.default_rng(4)
     g_img = jnp.asarray(rng.normal(size=(9, H, W)).astype(np.float32))
 
     def loss(f, dummy):
-        out = R.rasterize_image(f, dummy, binn, jnp.asarray(cam), W, H,
-                                0, "traditional")
+        out, _ = R.rasterize_image(f, dummy, mean2d, radius, depth_z,
+                                   jnp.asarray(cam), W, H, 0, "traditional",
+                                   entry_budget=4096)
         return jnp.sum(out * g_img)
 
     g_f, g_dummy = jax.grad(loss, argnums=(0, 1))(
@@ -152,10 +151,9 @@ def test_entry_stats_match_oracle_weights():
     feats, radius, cam = make_scene(n=25, seed=5, ch_sem=0)
     depth_z = feats[:, PF.F_DEPTH_Z]
     mean2d = feats[:, [PF.F_MEAN_X, PF.F_MEAN_Y]]
-    binn = B.bin_gaussians(mean2d, radius, depth_z, W, H, R.TILE,
-                           entry_budget=4096)
-    count, imp = R.rasterize_entry_stats(feats, binn, jnp.asarray(cam),
-                                         W, H, 0)
+    count, imp = R.rasterize_entry_stats(feats, mean2d, radius, depth_z,
+                                         jnp.asarray(cam), W, H, 0,
+                                         entry_budget=4096)
     # oracle importance: total blending weight of each gaussian over pixels
     order = REF.depth_order(depth_z, radius)
     n = feats.shape[0]

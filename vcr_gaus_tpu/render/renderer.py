@@ -99,15 +99,14 @@ def render(
     sem = p.obj_dc[:, 0, :] if cfg.ch_sem else None
     feats = PF.pack_features(proj, opacity, rgb, normal_cam, sem, cfg.ch_sem)
 
-    binn = B.bin_gaussians(proj.mean2d, radius, proj.depth_z,
-                           cfg.width, cfg.height, R.TILE, cfg.entry_budget)
-
     cam_vec = jnp.concatenate([cam.intr, bg_color, jnp.zeros((1,))]
                               ).astype(jnp.float32)
     dummy = (densify_dummy if densify_dummy is not None
              else jnp.zeros((xyz.shape[0], 2), jnp.float32))
-    img = R.rasterize_image(feats, dummy, binn, cam_vec, cfg.width,
-                            cfg.height, cfg.ch_sem, cfg.depth_mode)
+    img, binn = R.rasterize_image(feats, dummy, proj.mean2d, radius,
+                                  proj.depth_z, cam_vec, cfg.width,
+                                  cfg.height, cfg.ch_sem, cfg.depth_mode,
+                                  cfg.entry_budget)
 
     rendered = img[0:3]
     nrm = img[3:6]
@@ -164,10 +163,9 @@ def render_stats(state: GaussianState, cam: CameraArrays, cfg: RenderConfig,
     radius = jnp.where(state.active, proj.radius, 0)
     rgb = jnp.zeros((p.xyz.shape[0], 3), jnp.float32)
     feats = PF.pack_features(proj, state.opacity[:, 0], rgb, None, None, 0)
-    binn = B.bin_gaussians(proj.mean2d, radius, proj.depth_z,
-                           cfg.width, cfg.height, R.TILE, cfg.entry_budget)
     cam_vec = jnp.concatenate([cam.intr, bg_color, jnp.zeros((1,))]
                               ).astype(jnp.float32)
-    count, imp = R.rasterize_entry_stats(feats, binn, cam_vec, cfg.width,
-                                         cfg.height, 0)
+    count, imp = R.rasterize_entry_stats(
+        feats, proj.mean2d, radius, proj.depth_z, cam_vec, cfg.width,
+        cfg.height, 0, cfg.entry_budget)
     return count, imp
