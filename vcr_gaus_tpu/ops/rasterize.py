@@ -79,12 +79,13 @@ def _make_core(ch_sem: int, depth_mode: str, n_tx: int, n_ty: int):
 
     def core_fwd(feats_t, tile_starts, tile_counts, cam):
         out = core(feats_t, tile_starts, tile_counts, cam)
-        return out, (feats_t, tile_starts, tile_counts, cam)
+        return out, (feats_t, tile_starts, tile_counts, cam, out)
 
     def core_bwd(res, g_out):
-        feats_t, tile_starts, tile_counts, cam = res
+        feats_t, tile_starts, tile_counts, cam, out = res
         gfeat = K.rasterize_backward(feats_t, tile_starts, tile_counts, cam,
-                                     g_out, n_tx, n_ty, ch_sem, depth_mode)
+                                     g_out, out, n_tx, n_ty, ch_sem,
+                                     depth_mode)
         g = gfeat[:f_pad]
         # rows beyond the feature+stats block are scratch padding
         if f_pad > nfeat + K.N_EXTRA_GRAD:

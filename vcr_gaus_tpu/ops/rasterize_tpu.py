@@ -65,7 +65,9 @@ def out_channels(ch_sem: int) -> int:
 
 
 def out_pad(ch_sem: int) -> int:
-    return _round8(out_channels(ch_sem))
+    # +1 hidden channel: per-pixel log total transmittance (consumed by the
+    # single-pass backward kernel, never exposed in the image)
+    return _round8(out_channels(ch_sem) + 1)
 
 
 def _interpret() -> bool:
@@ -91,6 +93,14 @@ def _upper_tri_incl():
     rows = jax.lax.broadcasted_iota(jnp.int32, (G, G), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (G, G), 1)
     return (rows <= cols).astype(jnp.float32)
+
+
+def _lower_tri_incl():
+    """(G,G) f32 matrix M with M[j,g] = 1 iff j >= g  (inclusive suffix sum
+    along the contracted axis)."""
+    rows = jax.lax.broadcasted_iota(jnp.int32, (G, G), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (G, G), 1)
+    return (rows >= cols).astype(jnp.float32)
 
 
 def _alpha_chunk(f, px, py, n_rem, pvalid=None):
@@ -141,14 +151,15 @@ def _depth_chunk(f, px, py, cam, depth_mode: str):
 
 
 def _transmittance(alpha, ut):
-    """Returns (trans_excl (P,G), chunk_total (P,1)) where trans_excl[p,g] =
-    prod_{j<g within chunk} (1-alpha) and chunk_total = prod over chunk."""
+    """Returns (trans_excl (P,G), chunk_total (P,1), chunk_log (P,1)) where
+    trans_excl[p,g] = prod_{j<g within chunk} (1-alpha), chunk_total = prod
+    over the chunk, chunk_log = its log."""
     lg = jnp.log1p(-alpha)
     csum_incl = jax.lax.dot_general(
         lg, ut, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
     trans_excl = jnp.exp(csum_incl - lg)
-    chunk_total = jnp.exp(csum_incl[:, G - 1:G])
-    return trans_excl, chunk_total
+    chunk_log = csum_incl[:, G - 1:G]
+    return trans_excl, jnp.exp(chunk_log), chunk_log
 
 
 # ---------------------------------------------------------------------------
@@ -180,7 +191,7 @@ def _fwd_kernel(starts_ref, counts_ref, cam_ref, feats_ref, out_ref, buf, sems,
     feat_rows_acc = (PF.F_NORMAL, PF.F_NORMAL + 3)   # normals rows 8..10
 
     def body(k, carry):
-        t_carry, acc, acc_d, acc_d2 = carry
+        t_carry, logt, acc, acc_d, acc_d2 = carry
         slot = k % 2
 
         @pl.when(k + 1 < nchunks)
@@ -191,7 +202,7 @@ def _fwd_kernel(starts_ref, counts_ref, cam_ref, feats_ref, out_ref, buf, sems,
         f = buf[slot]                                  # (F_PAD, G)
 
         alpha, ex = _alpha_chunk(f, px, py, n - k * G)
-        trans_excl, chunk_total = _transmittance(alpha, ut)
+        trans_excl, chunk_total, chunk_log = _transmittance(alpha, ut)
         w = alpha * trans_excl * t_carry               # (P,G)
 
         # features to composite: rows [normal(3), rgb(3), sem(S)]
@@ -205,21 +216,25 @@ def _fwd_kernel(starts_ref, counts_ref, cam_ref, feats_ref, out_ref, buf, sems,
         acc_d = acc_d + jnp.sum(wd, axis=1, keepdims=True)
         acc_d2 = acc_d2 + jnp.sum(wd * d, axis=1, keepdims=True)
 
-        return t_carry * chunk_total, acc, acc_d, acc_d2
+        return (t_carry * chunk_total, logt + chunk_log, acc, acc_d, acc_d2)
 
     init = (jnp.ones((P, 1), jnp.float32),
+            jnp.zeros((P, 1), jnp.float32),
             jnp.zeros((P, 6 + ch_sem), jnp.float32),
             jnp.zeros((P, 1), jnp.float32),
             jnp.zeros((P, 1), jnp.float32))
-    t_final, acc, acc_d, acc_d2 = jax.lax.fori_loop(0, nchunks, body, init)
+    t_final, logt, acc, acc_d, acc_d2 = jax.lax.fori_loop(0, nchunks, body,
+                                                          init)
 
     # acc columns: [nx,ny,nz, r,g,b, sem...]  (feature-row order 8..)
     bg = jnp.stack([cam[4], cam[5], cam[6]])[None, :]  # (1,3)
     rgb = acc[:, 3:6] + t_final * bg
+    # hidden channel right after the public ones: log total transmittance
     cols = [rgb, acc[:, 0:3], acc_d, acc_d2, 1.0 - t_final]
     if ch_sem:
         cols.append(acc[:, 6:6 + ch_sem])
-    n_pad = c_pad - out_channels(ch_sem)
+    cols.append(logt)
+    n_pad = c_pad - out_channels(ch_sem) - 1
     if n_pad:
         cols.append(jnp.zeros((P, n_pad), jnp.float32))
     out_ref[0] = jnp.concatenate(cols, axis=1)
@@ -258,8 +273,8 @@ def rasterize_forward(feats_t: jnp.ndarray, tile_starts: jnp.ndarray,
 # backward kernel
 # ---------------------------------------------------------------------------
 
-def _bwd_kernel(starts_ref, counts_ref, cam_ref, feats_ref, gout_ref, gfeat_ref,
-                buf, gbuf, sems, wsem,
+def _bwd_kernel(starts_ref, counts_ref, cam_ref, feats_ref, gout_ref,
+                out_ref_fwd, gfeat_ref, buf, gbuf, sems, wsem,
                 *, ch_sem: int, depth_mode: str, n_tx: int):
     t = pl.program_id(0)
     start = pl.multiple_of(starts_ref[t], G)   # aligned tile region start
@@ -284,63 +299,44 @@ def _bwd_kernel(starts_ref, counts_ref, cam_ref, feats_ref, gout_ref, gfeat_ref,
     else:
         g_acc = jnp.concatenate([g_nrm, g_rgb], axis=1)
 
+    # per-pixel log total transmittance from the forward's hidden channel
+    logt_final = out_ref_fwd[0][:, out_channels(ch_sem):out_channels(ch_sem) + 1]
+    t_final = jnp.exp(logt_final)
+    bg = jnp.stack([cam[4], cam[5], cam[6]])[None, :]
+    b_pix = jnp.sum(bg * g_rgb, axis=1, keepdims=True) - g_al     # (P,1)
+    tb = t_final * b_pix
+    lt = _lower_tri_incl()
+
     def get_dma(slot, k):
         return pltpu.make_async_copy(
             feats_ref.at[:, pl.ds(start + k * G, G)], buf.at[slot],
             sems.at[slot])
 
-    # ---- pass 1: totals -------------------------------------------------
+    # ---- single reverse pass: transmittance reconstructed in log space ----
+    # trans_excl[g] = exp(logT_final - sum_{j>=g} log(1-alpha_j)), with the
+    # suffix split into the in-chunk part (lower-triangular matmul) and the
+    # across-chunk carry. This replaces the two-pass (totals + prefix) walk.
     @pl.when(nchunks > 0)
     def _():
-        get_dma(0, 0).start()
+        get_dma(0, nchunks - 1).start()
 
-    def body1(k, carry):
-        t_carry, u_total = carry
-        slot = k % 2
+    def body2(i, carry):
+        log_r, suffix_u = carry                        # over chunks > k
+        k = nchunks - 1 - i
+        slot = i % 2
 
-        @pl.when(k + 1 < nchunks)
+        @pl.when(i + 1 < nchunks)
         def _():
-            get_dma((k + 1) % 2, k + 1).start()
+            get_dma((i + 1) % 2, k - 1).start()
 
         get_dma(slot, k).wait()
         f = buf[slot]
         alpha, ex = _alpha_chunk(f, px, py, n - k * G)
-        trans_excl, chunk_total = _transmittance(alpha, ut)
-        w = alpha * trans_excl * t_carry
-        d, _ = _depth_chunk(f, px, py, cam, depth_mode)
-        fsub = f[PF.F_NORMAL:PF.F_NORMAL + c_acc, :]
-        s = jax.lax.dot_general(g_acc, fsub, (((1,), (0,)), ((), ())),
-                                preferred_element_type=jnp.float32)  # (P,G)
-        s = s + d * (g_d + d * g_d2)
-        u_total = u_total + jnp.sum(w * s, axis=1, keepdims=True)
-        return t_carry * chunk_total, u_total
-
-    t_final, u_total = jax.lax.fori_loop(
-        0, nchunks, body1,
-        (jnp.ones((P, 1), jnp.float32), jnp.zeros((P, 1), jnp.float32)))
-
-    bg = jnp.stack([cam[4], cam[5], cam[6]])[None, :]
-    b_pix = jnp.sum(bg * g_rgb, axis=1, keepdims=True) - g_al     # (P,1)
-    tb = t_final * b_pix
-
-    # ---- pass 2: per-entry gradients -----------------------------------
-    @pl.when(nchunks > 0)
-    def _():
-        get_dma(0, 0).start()
-
-    def body2(k, carry):
-        t_carry, prefix = carry
-        slot = k % 2
-
-        @pl.when(k + 1 < nchunks)
-        def _():
-            get_dma((k + 1) % 2, k + 1).start()
-
-        get_dma(slot, k).wait()
-        f = buf[slot]
-        alpha, ex = _alpha_chunk(f, px, py, n - k * G)
-        trans_excl, chunk_total = _transmittance(alpha, ut)
-        v = trans_excl * t_carry                       # transmittance before g
+        lg = jnp.log1p(-alpha)
+        suf_incl = jax.lax.dot_general(                # sum_{j>=g in chunk}
+            lg, lt, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        v = jnp.exp(logt_final - suf_incl - log_r)     # trans before entry g
         w = alpha * v
         d, dex = _depth_chunk(f, px, py, cam, depth_mode)
         fsub = f[PF.F_NORMAL:PF.F_NORMAL + c_acc, :]
@@ -349,10 +345,9 @@ def _bwd_kernel(starts_ref, counts_ref, cam_ref, feats_ref, gout_ref, gfeat_ref,
         s = s + d * (g_d + d * g_d2)
 
         u = w * s
-        u_csum = jax.lax.dot_general(u, ut, (((1,), (0,)), ((), ())),
-                                     preferred_element_type=jnp.float32)
-        prefix_incl = prefix + u_csum                  # (P,G) inclusive prefix
-        suffix = u_total - prefix_incl                 # sum over later entries
+        u_suf_incl = jax.lax.dot_general(u, lt, (((1,), (0,)), ((), ())),
+                                         preferred_element_type=jnp.float32)
+        suffix = (u_suf_incl - u) + suffix_u           # sum over later entries
 
         dalpha = v * s - (suffix + tb) / (1.0 - alpha)
         dalpha = jnp.where(ex["live"], dalpha, 0.0)
@@ -411,40 +406,43 @@ def _bwd_kernel(starts_ref, counts_ref, cam_ref, feats_ref, gout_ref, gfeat_ref,
             rows.append(jnp.zeros((n_pad, G), jnp.float32))
         gchunk = jnp.concatenate(rows, axis=0)
 
-        wslot = k % 2
+        wslot = i % 2
         # wait previous write on this slot before overwriting the buffer
-        @pl.when(k >= 2)
+        @pl.when(i >= 2)
         def _():
             pltpu.make_async_copy(
-                gbuf.at[wslot], gfeat_ref.at[:, pl.ds(start + (k - 2) * G, G)],
+                gbuf.at[wslot],
+                gfeat_ref.at[:, pl.ds(start + (k + 2) * G, G)],
                 wsem.at[wslot]).wait()
         gbuf[wslot] = gchunk
         pltpu.make_async_copy(
             gbuf.at[wslot], gfeat_ref.at[:, pl.ds(start + k * G, G)],
             wsem.at[wslot]).start()
 
-        new_prefix = prefix + u_csum[:, G - 1:G]
-        return t_carry * chunk_total, new_prefix
+        return (log_r + suf_incl[:, 0:1],              # add full-chunk logsum
+                suffix_u + u_suf_incl[:, 0:1])
 
-    t_end, _ = jax.lax.fori_loop(
+    jax.lax.fori_loop(
         0, nchunks, body2,
-        (jnp.ones((P, 1), jnp.float32), jnp.zeros((P, 1), jnp.float32)))
+        (jnp.zeros((P, 1), jnp.float32), jnp.zeros((P, 1), jnp.float32)))
 
-    # drain outstanding write DMAs (up to two)
+    # drain outstanding write DMAs (up to two; chunks 0 and 1 were last)
     def drain(k):
         @pl.when((k >= 0) & (k < nchunks))
         def _():
             pltpu.make_async_copy(
-                gbuf.at[k % 2], gfeat_ref.at[:, pl.ds(start + k * G, G)],
-                wsem.at[k % 2]).wait()
+                gbuf.at[(nchunks - 1 - k) % 2],
+                gfeat_ref.at[:, pl.ds(start + k * G, G)],
+                wsem.at[(nchunks - 1 - k) % 2]).wait()
 
-    drain(nchunks - 2)
-    drain(nchunks - 1)
+    drain(0)
+    drain(1)
 
 
-def rasterize_backward(feats_t, tile_starts, tile_counts, cam, gout_tiles, n_tx, n_ty,
-                       ch_sem: int, depth_mode: str):
-    """gout_tiles: (T, P, C_PAD) upstream grads. Returns per-entry grads
+def rasterize_backward(feats_t, tile_starts, tile_counts, cam, gout_tiles,
+                       out_tiles, n_tx, n_ty, ch_sem: int, depth_mode: str):
+    """gout_tiles: (T, P, C_PAD) upstream grads; out_tiles: the forward's
+    output (for the hidden logT channel). Returns per-entry grads
     (F_PAD, E_pad) in the packed layout (+2 abs-mean rows)."""
     num_tiles = n_tx * n_ty
     f_pad = feats_t.shape[0]
@@ -455,6 +453,8 @@ def rasterize_backward(feats_t, tile_starts, tile_counts, cam, gout_tiles, n_tx,
         grid=(num_tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, P, c_pad), lambda t, *_: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((1, P, c_pad), lambda t, *_: (t, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
@@ -474,7 +474,7 @@ def rasterize_backward(feats_t, tile_starts, tile_counts, cam, gout_tiles, n_tx,
         out_shape=jax.ShapeDtypeStruct((f_pad, e_pad), jnp.float32),
         interpret=_interpret(),
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(tile_starts, tile_counts, cam, feats_t, gout_tiles)
+    )(tile_starts, tile_counts, cam, feats_t, gout_tiles, out_tiles)
     return gfeat
 
 
@@ -511,7 +511,7 @@ def _stats_kernel(starts_ref, counts_ref, cam_ref, feats_ref, stats_ref, buf, gb
         get_dma(slot, k).wait()
         f = buf[slot]
         alpha, ex = _alpha_chunk(f, px, py, n - k * G, pvalid)
-        trans_excl, chunk_total = _transmittance(alpha, ut)
+        trans_excl, chunk_total, _ = _transmittance(alpha, ut)
         w = alpha * trans_excl * t_carry
         count = jnp.sum(ex["live"].astype(jnp.float32), axis=0, keepdims=True)
         imp = jnp.sum(w, axis=0, keepdims=True)
