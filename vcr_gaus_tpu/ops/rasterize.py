@@ -1,7 +1,7 @@
 """Differentiable rasterization facade: binning+gather -> Pallas tiles.
 
 Joins the pure-JAX projection stage (ops/projection.py), the gather-free
-binning/feature materialization (ops/binning.py + ops/gather_tpu.py) and the
+binning/feature materialization (ops/binning.py) and the
 Pallas compositing kernels (ops/rasterize_tpu.py) into one differentiable
 `rasterize_image` call.
 
@@ -9,10 +9,10 @@ Gradient routing (the TPU-native re-design of the CUDA fork's custom
 autograd, reference gaussian_renderer/__init__.py:107-120) — two custom_vjp
 boundaries keep every backward op cheap on TPU:
 
-  * entry building (payload -> aligned per-entry rows): forward is the
-    windowed-gather + permutation-scatter pipeline; backward is ONE
-    scatter-add by entry gid (XLA's gather, which autodiff would otherwise
-    emit, runs ~200ns/element on TPU — the scatter is ~10x faster);
+  * entry building (payload -> aligned per-entry rows): forward is one row
+    gather by aligned gid; backward is ONE scatter-add by the same ids
+    (autodiff of the gather would emit an equivalent scatter, but the
+    explicit boundary also severs the non-differentiable binning plumbing);
   * the Pallas kernel pair: forward compositing / analytic backward
     emitting per-entry gradients, including two extra rows of |d mean2d|
     densification statistics that flow back as the gradient of the

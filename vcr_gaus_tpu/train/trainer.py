@@ -276,6 +276,13 @@ class Trainer:
         with open(os.path.join(cfg.logdir, "cameras.json"), "w") as f:
             json.dump(cams_json, f)
 
+        self.test_history: list[dict] = []
+        self._tb = _make_tb_writer(cfg.logdir)
+        start_ckpt = getattr(cfg.train, "start_checkpoint", None)
+        if start_ckpt:
+            self.restore_checkpoint(start_ckpt)
+            print(f"resumed from {start_ckpt} at iteration {self.iteration}")
+
     # -- schedule helpers --------------------------------------------------
 
     def _sh_degree(self) -> int:
@@ -345,14 +352,48 @@ class Trainer:
                            overflow=bool(aux["overflow"]),
                            time=time.time() - t0)
                 self.history.append(rec)
+                self._log_scalars(rec)
+            if self.iteration in list(self.cfg.train.test_iterations):
+                self.run_test()
             if self.iteration in list(self.cfg.train.save_iterations):
                 self.save()
             if self.iteration in list(self.cfg.train.checkpoint_iterations):
-                ply_io.save_checkpoint(
-                    os.path.join(self.cfg.logdir,
-                                 f"chkpnt{self.iteration}.npz"),
-                    self.state, self.iteration)
+                self.save_checkpoint()
         return self.history
+
+    def run_test(self):
+        """Periodic PSNR/L1 sweep over train+test views
+        (trainer.py:504-587)."""
+        res = {"train": self.evaluate(max_cams=8)}
+        test_cams = self.scene.test_cameras
+        if test_cams:
+            res["test"] = self.evaluate(test_cams, max_cams=8)
+        print(f"[ITER {self.iteration}] " + "  ".join(
+            f"{k}: psnr={v['psnr']:.2f} l1={v['l1']:.4f}"
+            for k, v in res.items()), flush=True)
+        if self._tb is not None:
+            for split, v in res.items():
+                self._tb.scalar(f"eval/{split}_psnr", v["psnr"],
+                                self.iteration)
+        self.test_history.append({"iter": self.iteration, **res})
+        return res
+
+    def _log_scalars(self, rec: dict):
+        if self._tb is not None:
+            for k, v in rec.items():
+                if isinstance(v, float):
+                    self._tb.scalar(f"train/{k}", v, rec["iter"])
+
+    def save_checkpoint(self):
+        extra = {"rng_state": self.rng.getstate()}
+        ply_io.save_checkpoint(
+            os.path.join(self.cfg.logdir, f"chkpnt{self.iteration}.npz"),
+            self.state, self.iteration, extra=None)
+
+    def restore_checkpoint(self, path: str):
+        """Resume from a full checkpoint (the reference's
+        --train.start_checkpoint, trainer.py:169-172)."""
+        self.state, self.iteration, _ = ply_io.load_checkpoint(path)
 
     # -- box-guided densification (trainer.py:361-368, 687-702) --------------
 
@@ -441,6 +482,30 @@ class Trainer:
             psnrs.append(float(-10.0 * jnp.log10(mse + 1e-12)))
             l1s.append(float(L.l1_loss(img, cam.image)))
         return {"psnr": float(np.mean(psnrs)), "l1": float(np.mean(l1s))}
+
+
+class _TB:
+    """Minimal TensorBoard scalar writer (the reference's optional
+    SummaryWriter, trainer.py:35-39)."""
+
+    def __init__(self, writer):
+        self._w = writer
+
+    def scalar(self, tag, value, step):
+        with self._w.as_default():
+            import tensorflow as tf
+            tf.summary.scalar(tag, value, step=step)
+
+
+def _make_tb_writer(logdir: str):
+    if os.environ.get("VCR_TB", "0") != "1":
+        return None
+    try:
+        import tensorflow as tf
+        return _TB(tf.summary.create_file_writer(
+            os.path.join(logdir, "tb")))
+    except Exception:
+        return None
 
 
 def _auto_capacity(n_init: int) -> int:
