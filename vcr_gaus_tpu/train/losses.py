@@ -44,13 +44,18 @@ def entropy_loss(opacity, mask=None):
 # ---------------------------------------------------------------------------
 
 @functools.lru_cache(maxsize=4)
-def _gaussian_window(window_size: int, sigma: float):
+def _gaussian_window_np(window_size: int, sigma: float):
+    # cache NUMPY only — caching a jnp array would leak a tracer when first
+    # called inside a jit trace
     import numpy as np
     x = np.arange(window_size) - window_size // 2
     g = np.exp(-(x ** 2) / (2 * sigma ** 2))
     g = g / g.sum()
-    w2d = np.outer(g, g).astype(np.float32)
-    return jnp.asarray(w2d)
+    return np.outer(g, g).astype(np.float32)
+
+
+def _gaussian_window(window_size: int, sigma: float):
+    return jnp.asarray(_gaussian_window_np(window_size, sigma))
 
 
 def ssim(img1, img2, window_size: int = 11):
