@@ -44,32 +44,35 @@ def entropy_loss(opacity, mask=None):
 # ---------------------------------------------------------------------------
 
 @functools.lru_cache(maxsize=4)
-def _gaussian_window_np(window_size: int, sigma: float):
+def _gaussian_1d_np(window_size: int, sigma: float):
     # cache NUMPY only — caching a jnp array would leak a tracer when first
     # called inside a jit trace
     import numpy as np
     x = np.arange(window_size) - window_size // 2
     g = np.exp(-(x ** 2) / (2 * sigma ** 2))
-    g = g / g.sum()
-    return np.outer(g, g).astype(np.float32)
-
-
-def _gaussian_window(window_size: int, sigma: float):
-    return jnp.asarray(_gaussian_window_np(window_size, sigma))
+    return (g / g.sum()).astype(np.float32)
 
 
 def ssim(img1, img2, window_size: int = 11):
     """Mean SSIM with an 11x11 sigma-1.5 gaussian window and same-padding,
-    per channel (tools/loss_utils.py:49-92). Images (C, H, W) in [0,1]."""
-    w = _gaussian_window(window_size, 1.5)[None, None]     # (1,1,K,K)
-    c = img1.shape[0]
+    per channel (tools/loss_utils.py:49-92). Images (C, H, W) in [0,1].
+
+    The gaussian window is separable: two K-tap 1-D convs replace the K^2
+    2-D conv (identical result, ~5x less work)."""
+    g1 = jnp.asarray(_gaussian_1d_np(window_size, 1.5))
+    wy = g1.reshape(1, 1, window_size, 1)
+    wx = g1.reshape(1, 1, 1, window_size)
     pad = window_size // 2
 
     def blur(x):
-        # depthwise conv: treat channels as batch
-        return jax.lax.conv_general_dilated(
-            x[:, None], w, (1, 1), [(pad, pad), (pad, pad)],
-            dimension_numbers=("NCHW", "OIHW", "NCHW"))[:, 0]
+        # depthwise separable conv: treat channels as batch
+        y = jax.lax.conv_general_dilated(
+            x[:, None], wy, (1, 1), [(pad, pad), (0, 0)],
+            dimension_numbers=("NCHW", "OIHW", "NCHW"))
+        y = jax.lax.conv_general_dilated(
+            y, wx, (1, 1), [(0, 0), (pad, pad)],
+            dimension_numbers=("NCHW", "OIHW", "NCHW"))
+        return y[:, 0]
 
     mu1, mu2 = blur(img1), blur(img2)
     mu1_sq, mu2_sq, mu1_mu2 = mu1 * mu1, mu2 * mu2, mu1 * mu2

@@ -277,6 +277,7 @@ class Trainer:
             json.dump(cams_json, f)
 
         self.test_history: list[dict] = []
+        self._prefetched = None
         self._tb = _make_tb_writer(cfg.logdir)
         start_ckpt = getattr(cfg.train, "start_checkpoint", None)
         if start_ckpt:
@@ -305,12 +306,23 @@ class Trainer:
                           o.position_lr_final * self.extent,
                           max_steps=o.position_lr_max_steps)
 
-    def _pick_camera(self) -> CameraArrays:
+    def _next_camera_index(self) -> int:
         if not self.viewpoint_stack:
             self.viewpoint_stack = list(range(len(self._cam_arrays)))
-        i = self.viewpoint_stack.pop(
+        return self.viewpoint_stack.pop(
             self.rng.randint(0, len(self.viewpoint_stack) - 1))
-        return self._cam_arrays[i]
+
+    def _pick_camera(self) -> CameraArrays:
+        """One-slot camera prefetch: the NEXT camera's host->device transfer
+        is issued before this step's compute is dispatched, so the (large)
+        image upload overlaps the previous step on device."""
+        if self._prefetched is None:
+            self._prefetched = jax.device_put(
+                self._cam_arrays[self._next_camera_index()])
+        cam = self._prefetched
+        self._prefetched = jax.device_put(
+            self._cam_arrays[self._next_camera_index()])
+        return cam
 
     # -- main loop ----------------------------------------------------------
 
