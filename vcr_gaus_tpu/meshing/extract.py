@@ -76,6 +76,43 @@ def extract_mesh_from_state(
     return T.extract_mesh(grid, min_weight=min_weight, n_clusters=n_clusters)
 
 
+def extract_mesh_unbounded_from_state(
+    state: GaussianState,
+    cameras: list[Camera],
+    rcfg: RenderConfig,
+    resolution: int = 320,
+    alpha_thr: float = 0.5,
+    stride: int = 1,
+    sh_degree: int = 3,
+    scene_extent: float = 1e9,
+    bg_color=None,
+    n_clusters: int = 1,
+    progress=None,
+):
+    """Unbounded-scene meshing via mip-360 contraction
+    (tools/mesh_utils.py:168-276): normalize the world by the camera bounding
+    sphere, fuse depth into a dense contracted grid, marching tetrahedra,
+    inverse-contract vertices."""
+    centers = np.stack([
+        (c.camera_center if isinstance(c, Camera) else
+         np.asarray(c.cam_center)) for c in cameras])
+    center = centers.mean(0)
+    radius = float(np.linalg.norm(centers - center, axis=1).max()) * 1.1
+    grid = T.create_contracted_grid(center, radius, resolution)
+
+    for idx, cam in enumerate(cameras[::stride]):
+        arr = cam.arrays() if isinstance(cam, Camera) else cam
+        out = render(state, arr, rcfg, bg_color if bg_color is not None
+                     else jnp.zeros(3), sh_degree, scene_extent=scene_extent)
+        depth = jnp.where(out["alpha"] > alpha_thr,
+                          out["depth"] / jnp.maximum(out["alpha"], 1e-6), 0.0)
+        grid = T.integrate(grid, depth, jnp.asarray(arr.viewmatrix),
+                           jnp.asarray(arr.intr), contracted=True)
+        if progress is not None:
+            progress(idx)
+    return T.extract_mesh(grid, min_weight=1.0, n_clusters=n_clusters)
+
+
 def save_mesh_ply(path: str, verts: np.ndarray, faces: np.ndarray) -> None:
     from ..utils.ply import write_ply
     write_ply(path, {"x": verts[:, 0].astype(np.float32),

@@ -28,6 +28,25 @@ class TSDFGrid(NamedTuple):
     spacing: np.ndarray     # (3,)
     trans: np.ndarray       # meta.json box transform ((3,) or (4,4))
     scale: np.ndarray       # box scale
+    contracted: bool = False  # grid lives in mip-360 contracted coords
+
+
+def contract(x, eps=1e-9):
+    """mip-NeRF 360 scene contraction: identity inside the unit ball,
+    (2 - 1/|x|) x/|x| outside — maps R^3 into the radius-2 ball
+    (tools/mesh_utils.py:176-183 equivalent)."""
+    norm = jnp.linalg.norm(x, axis=-1, keepdims=True)
+    safe = jnp.maximum(norm, eps)
+    return jnp.where(norm <= 1.0, x, (2.0 - 1.0 / safe) * (x / safe))
+
+
+def inv_contract(y, eps=1e-9):
+    """Inverse contraction: y in the radius-2 ball -> world
+    (tools/mcube_utils.py inverse-contraction path)."""
+    norm = jnp.linalg.norm(y, axis=-1, keepdims=True)
+    safe = jnp.maximum(norm, eps)
+    return jnp.where(norm <= 1.0, y,
+                     (y / safe) / jnp.maximum(2.0 - safe, eps))
 
 
 def create_grid(trans, scale, voxel_size: float,
@@ -47,14 +66,36 @@ def create_grid(trans, scale, voxel_size: float,
         trans=trans, scale=scale)
 
 
-def _voxel_world_coords(grid: TSDFGrid):
-    """World coordinates of all voxel centers, (X,Y,Z,3)."""
+def create_contracted_grid(center, radius, resolution: int = 320) -> TSDFGrid:
+    """Dense grid over the contracted ball [-2, 2]^3 for unbounded scenes
+    (the reference's extract_mesh_unbounded, tools/mesh_utils.py:168-276).
+    ``center``/``radius`` normalize the world so the cameras' region maps
+    into the unit ball before contraction."""
+    dims = (resolution,) * 3
+    spacing = np.full(3, 4.0 / (resolution - 1), np.float32)
+    origin = np.full(3, -2.0, np.float32)
+    return TSDFGrid(
+        tsdf=jnp.ones(dims, jnp.float32),
+        weight=jnp.zeros(dims, jnp.float32),
+        origin=origin, spacing=spacing,
+        trans=np.asarray(center, np.float32),
+        scale=np.asarray(radius, np.float32), contracted=True)
+
+
+def _voxel_world_coords(grid: TSDFGrid, contracted: bool = False):
+    """World coordinates of all voxel centers, (X,Y,Z,3). ``contracted``
+    must be a static Python bool (the grid flag is a traced leaf under jit)."""
     dims = grid.tsdf.shape
     axes = [grid.origin[a] + grid.spacing[a] * jnp.arange(dims[a])
             for a in range(3)]
     gx, gy, gz = jnp.meshgrid(*axes, indexing="ij")
     pts_box = jnp.stack([gx, gy, gz], axis=-1)
     trans = jnp.asarray(grid.trans)
+    if contracted:
+        # contracted coords -> normalized world -> world
+        world_n = inv_contract(pts_box.reshape(-1, 3))
+        world = world_n * jnp.asarray(grid.scale) + trans
+        return world.reshape(pts_box.shape)
     if trans.ndim == 2:
         # box space -> world: inverse of normalize (x_box = R x + t)
         from ..utils.math import mm
@@ -64,15 +105,17 @@ def _voxel_world_coords(grid: TSDFGrid):
     return pts_box + trans
 
 
-@functools.partial(jax.jit, static_argnames=("sdf_trunc_vox",))
+@functools.partial(jax.jit, static_argnames=("sdf_trunc_vox", "contracted"))
 def integrate(grid: TSDFGrid, depth: jnp.ndarray, viewmatrix: jnp.ndarray,
-              intr: jnp.ndarray, sdf_trunc_vox: int = 4) -> TSDFGrid:
+              intr: jnp.ndarray, sdf_trunc_vox: int = 4,
+              contracted: bool = False) -> TSDFGrid:
     """Integrate one masked depth map (H,W); invalid pixels are <= 0.
 
     Projective TSDF with running weighted average (the standard KinectFusion
-    update Open3D implements)."""
+    update Open3D implements). Pass contracted=True for grids from
+    create_contracted_grid (the flag must be static under jit)."""
     h, w = depth.shape
-    pts = _voxel_world_coords(grid)               # (X,Y,Z,3)
+    pts = _voxel_world_coords(grid, contracted)   # (X,Y,Z,3)
     hom = jnp.concatenate([pts, jnp.ones_like(pts[..., :1])], -1)
     cam = hom.reshape(-1, 4) @ viewmatrix         # row-vector w2c
     x, y, z = cam[:, 0], cam[:, 1], cam[:, 2]
@@ -84,6 +127,17 @@ def integrate(grid: TSDFGrid, depth: jnp.ndarray, viewmatrix: jnp.ndarray,
     valid = ((z > 1e-4) & (u >= 0) & (u < w) & (v >= 0) & (v < h) & (d > 0))
 
     trunc = float(sdf_trunc_vox) * jnp.min(jnp.asarray(grid.spacing))
+    if contracted:
+        # world-space voxel size grows with the contraction Jacobian
+        # 1/(2-|y|)^2 outside the unit ball; truncation follows it
+        dims = grid.tsdf.shape
+        axes = [grid.origin[a] + grid.spacing[a] * jnp.arange(dims[a])
+                for a in range(3)]
+        gx, gy, gz = jnp.meshgrid(*axes, indexing="ij")
+        ynorm = jnp.sqrt(gx * gx + gy * gy + gz * gz).reshape(-1)
+        jac = jnp.where(ynorm <= 1.0, 1.0,
+                        1.0 / jnp.maximum(2.0 - ynorm, 0.05) ** 2)
+        trunc = trunc * jac * jnp.asarray(grid.scale)
     sdf = (d - z) / trunc
     valid = valid & (sdf > -1.0)
     sdf = jnp.clip(sdf, -1.0, 1.0)
@@ -109,7 +163,11 @@ def extract_mesh(grid: TSDFGrid, min_weight: float = 1.0,
     verts, faces = marching_tets(sdf, 0.0, origin=grid.origin,
                                  spacing=grid.spacing)
     trans = np.asarray(grid.trans)
-    if trans.ndim == 2:
+    if grid.contracted:
+        import jax.numpy as jnp
+        verts = np.asarray(inv_contract(jnp.asarray(verts))) * np.asarray(
+            grid.scale) + trans
+    elif trans.ndim == 2:
         verts = (verts - trans[:3, 3]) @ trans[:3, :3]
     else:
         verts = verts + trans

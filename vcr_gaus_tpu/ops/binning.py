@@ -146,7 +146,8 @@ def bin_and_gather(
     e_al = aligned_budget(entry_budget, num_tiles, align)
     astart = jnp.where(padded > 0, jnp.minimum(a[:-1], e_al - 1), e_al)
     # three monotonic fills give, per aligned slot: its tile's aligned start,
-    # compact start, and compact end
+    # compact start, and compact end (measured faster than one tile fill +
+    # a small row gather)
     a_fill = _fill_monotonic(a[:-1], astart, e_al)
     cs_fill = _fill_monotonic(cs[:-1], astart, e_al)
     ce_fill = _fill_monotonic(cs[1:], astart, e_al)

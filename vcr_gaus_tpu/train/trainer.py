@@ -478,6 +478,31 @@ class Trainer:
         ply_io.save_inside_ply(
             self.state, os.path.join(out, "point_cloud_inside.ply"),
             np.asarray(inside))
+        # side networks next to the PLY (the reference's model.pth,
+        # gaussian_model.py:313-320)
+        side = {}
+        if self.net.app_params is not None:
+            side["appearance"] = (self.net.app_embeddings,
+                                  self.net.app_params)
+        if self.net.cls_params is not None:
+            side["classifier"] = self.net.cls_params
+        if side:
+            import pickle
+            flat = pickle.dumps(jax.tree.map(np.asarray, side))
+            with open(os.path.join(out, "model.pkl"), "wb") as f:
+                f.write(flat)
+
+    def save_importance(self):
+        """Final per-Gaussian importance dump (the reference's
+        imp_score.npz, trainer.py:432-436)."""
+        imp = jnp.zeros((self.state.capacity,), jnp.float32)
+        for cam in self._cam_arrays:
+            _, imp_c = render_stats(self.state, cam, self.rcfg,
+                                    jnp.asarray(self.bg))
+            imp = imp + imp_c
+        v = GM.v_imp_score(self.state, imp, self.cfg.optim.prune.v_pow)
+        np.savez(os.path.join(self.cfg.logdir, "imp_score.npz"),
+                 np.asarray(v))
 
     # -- evaluation sweep (trainer.py:504-587) -------------------------------
 
