@@ -42,6 +42,10 @@ def cmd_dtu(args):
     from vcr_gaus_tpu.meshing.extract import load_mesh_ply
     from vcr_gaus_tpu.utils.ply import read_points_ply
     verts, faces = load_mesh_ply(args.ply_path)
+    if args.instance_dir:
+        # cull by image masks + frusta (evaluate_single_scene.py protocol)
+        from vcr_gaus_tpu.evaluation.dtu_cull import cull_mesh_dtu
+        verts, faces = cull_mesh_dtu(verts, faces, args.instance_dir)
     pts = sample_points_on_mesh(verts, faces, args.downsample_density)
     stl, _, _ = read_points_ply(os.path.join(
         args.dataset_dir, "Points", "stl", f"stl{args.scan:03d}_total.ply"))
@@ -81,6 +85,8 @@ def main():
     d.add_argument("--downsample_density", type=float, default=0.2)
     d.add_argument("--patch_size", type=float, default=60)
     d.add_argument("--max_dist", type=float, default=20)
+    d.add_argument("--instance_dir", default=None,
+                   help="DTU instance dir (cameras.npz + mask/) for culling")
     d.set_defaults(fn=cmd_dtu)
     args = ap.parse_args()
     args.fn(args)

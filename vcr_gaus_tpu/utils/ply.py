@@ -84,12 +84,15 @@ def read_ply(path: str) -> dict[str, np.ndarray]:
                 # assume homogeneous list length (triangle faces)
                 cnt_dt = _PLY_DTYPES[props[0][1].split(":")[1]]
                 idx_dt = _PLY_DTYPES[props[0][1].split(":")[2]]
-                first = np.frombuffer(f.read(np.dtype(cnt_dt).itemsize), cnt_dt)[0]
-                row_bytes = np.dtype(cnt_dt).itemsize + first * np.dtype(idx_dt).itemsize
+                first_raw = f.read(np.dtype(cnt_dt).itemsize)
+                first = int(np.frombuffer(first_raw, cnt_dt)[0])
+                row_bytes = (np.dtype(cnt_dt).itemsize
+                             + first * np.dtype(idx_dt).itemsize)
                 rest = f.read(row_bytes * count - np.dtype(cnt_dt).itemsize)
                 buf = np.frombuffer(
-                    np.frombuffer(first.tobytes() + rest, np.uint8).tobytes(),
-                    dtype=[("n", cnt_dt), ("v", idx_dt, (int(first),))], count=count)
+                    first_raw + rest,
+                    dtype=[("n", cnt_dt), ("v", idx_dt, (first,))],
+                    count=count)
                 out["__faces__"] = buf["v"].astype(np.int64)
                 continue
             dt = np.dtype([(p, d) for p, d in props])
