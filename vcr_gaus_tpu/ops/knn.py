@@ -216,3 +216,15 @@ def remove_radius_outlier(points: jnp.ndarray, nb_points: int = 5,
     """Keep-mask of points with >= nb_points neighbors within radius
     (tools/denoise_pcd.py:4-9)."""
     return radius_neighbor_counts(points, radius) >= nb_points
+
+
+def remove_statistical_outlier(points: jnp.ndarray, nb_neighbors: int = 20,
+                               std_ratio: float = 2.0) -> jnp.ndarray:
+    """Keep-mask of points whose mean k-NN distance is within
+    mean + std_ratio * std of the population (tools/denoise_pcd.py:12-27,
+    the knn_points-based statistical filter)."""
+    d2 = knn_sq_dists(points, k=nb_neighbors)
+    d = jnp.sqrt(jnp.maximum(d2, 0.0)).mean(axis=-1)
+    mu = d.mean()
+    sigma = d.std()
+    return d <= mu + std_ratio * sigma
