@@ -1,0 +1,54 @@
+"""Adaptive capacity / entry-budget growth."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from vcr_gaus_tpu.models import gaussians as GM
+
+
+def test_expand_capacity_preserves_state():
+    rng = np.random.default_rng(0)
+    pts = rng.normal(size=(20, 3)).astype(np.float32)
+    cols = rng.uniform(0, 1, (20, 3)).astype(np.float32)
+    st = GM.create_from_pcd(pts, cols, 32, sh_degree=2, ch_sem=3)
+    mu = st.adam.mu._replace(xyz=jnp.ones((32, 3)))
+    st = st._replace(adam=st.adam._replace(mu=mu, step=jnp.asarray(7)))
+    st2 = GM.expand_capacity(st, 64)
+    assert st2.capacity == 64
+    assert int(st2.num_active) == 20
+    np.testing.assert_array_equal(np.asarray(st2.params.xyz[:32]),
+                                  np.asarray(st.params.xyz))
+    np.testing.assert_array_equal(np.asarray(st2.adam.mu.xyz[:32]), 1.0)
+    assert float(jnp.abs(st2.adam.mu.xyz[32:]).max()) == 0.0
+    assert int(st2.adam.step) == 7
+    assert not bool(st2.active[32:].any())
+    # densify works at the new capacity
+    grads = jnp.ones((64,))
+    st3, dropped = GM.densify_and_clone(st2, grads, 0.5, 0.01, 1e9)
+    assert int(st3.num_active) == 40
+
+
+def test_trainer_grows_on_overflow(tmp_path):
+    import sys
+    sys.path.insert(0, "tests")
+    from fixtures import write_colmap_scene
+    from vcr_gaus_tpu.config import Config
+    from vcr_gaus_tpu.train.trainer import Trainer
+    root = str(tmp_path / "scene")
+    write_colmap_scene(root, n_cams=4, n_pts=300, width=64, height=48)
+    c = Config("configs/config_base.yaml")
+    c.logdir = str(tmp_path / "log")
+    c.model.source_path = root
+    c.model.resolution = 1
+    c.model.depth_type = "traditional"
+    c.tpu.capacity = 512
+    c.tpu.entry_budget_factor = 1   # deliberately tiny -> overflow
+    tr = Trainer(c)
+    b0 = tr.rcfg.entry_budget
+    for _ in range(3):
+        _, aux = tr.train_step()
+    # at least one overflow should have doubled the budget
+    assert tr.rcfg.entry_budget >= b0
+    if bool(aux["overflow"]):
+        tr.train_step()
+        assert tr.rcfg.entry_budget > b0

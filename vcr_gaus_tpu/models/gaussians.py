@@ -421,3 +421,29 @@ def add_densification_stats(state: GaussianState, abs_grad2d, radii,
 def oneup_sh_degree(state: GaussianState, max_sh_degree: int) -> GaussianState:
     return state._replace(active_sh_degree=jnp.minimum(
         state.active_sh_degree + 1, max_sh_degree))
+
+
+def expand_capacity(state: GaussianState, new_capacity: int) -> GaussianState:
+    """Grow the padded capacity (host-side; triggers recompiles downstream).
+    The TPU analog of PyTorch's dynamic tensor growth — invoked by the
+    trainer when densification starts dropping splats (the reference instead
+    gates densify on a GPU memory cap, gaussian_model.py:588)."""
+    old = state.capacity
+    assert new_capacity > old
+    extra = new_capacity - old
+
+    def pad(a):
+        widths = [(0, extra)] + [(0, 0)] * (a.ndim - 1)
+        return jnp.pad(a, widths)
+
+    pad_params = lambda p: GaussianParams(*(pad(x) for x in p))
+    return GaussianState(
+        params=pad_params(state.params),
+        adam=AdamState(pad_params(state.adam.mu), pad_params(state.adam.nu),
+                       state.adam.step),
+        active=pad(state.active),
+        max_radii2d=pad(state.max_radii2d),
+        grad_accum=pad(state.grad_accum),
+        denom=pad(state.denom),
+        active_sh_degree=state.active_sh_degree,
+    )

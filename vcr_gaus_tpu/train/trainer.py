@@ -335,6 +335,9 @@ class Trainer:
             self.state, self.net, cam, jnp.asarray(bg), self._lr_xyz(),
             sh_degree=self._sh_degree(), gates=self._gates())
 
+        if bool(aux["overflow"]):
+            self._grow_entry_budget()
+
         o = self.cfg.optim
         it = self.iteration
         if it < o.densify_until_iter:
@@ -343,6 +346,8 @@ class Trainer:
                 box_mask = self._box_densify_mask()
                 self.state, dropped = self._densify_fn(
                     self.state, box_mask=box_mask, max_screen_size=size_thr)
+                if int(dropped) > 0:
+                    self._grow_capacity(int(dropped))
             if it % o.opacity_reset_interval == 0 or (
                     self.cfg.model.white_background
                     and it == o.densify_from_iter):
@@ -406,6 +411,40 @@ class Trainer:
         """Resume from a full checkpoint (the reference's
         --train.start_checkpoint, trainer.py:169-172)."""
         self.state, self.iteration, _ = ply_io.load_checkpoint(path)
+
+    # -- adaptive buffers (the reference's 22GiB memory guard analog,
+    #    gaussian_model.py:588 — here buffers grow with a recompile) ---------
+
+    def _grow_capacity(self, dropped: int):
+        """Densification dropped splats: double the padded capacity (bounded
+        by cfg.model.max_mem GiB of parameter+moment state)."""
+        cap = self.state.capacity
+        bytes_per = 4 * 3 * (3 + 3 + 3 * ((self.cfg.model.sh_degree + 1) ** 2
+                                          - 1) + 3 + 4 + 1 + self.ch_sem + 3)
+        new_cap = cap * 2
+        if new_cap * bytes_per > self.cfg.model.max_mem * (1 << 30):
+            print(f"[capacity] at max_mem cap ({cap}); densify drops "
+                  f"{dropped} splats", flush=True)
+            return
+        print(f"[capacity] {cap} -> {new_cap} (densify dropped {dropped})",
+              flush=True)
+        self.state = GM.expand_capacity(self.state, new_cap)
+        budget = max(self.rcfg.entry_budget,
+                     1 << (new_cap * self.cfg.tpu.entry_budget_factor - 1)
+                     .bit_length())
+        self._set_entry_budget(budget)
+
+    def _grow_entry_budget(self):
+        self._set_entry_budget(self.rcfg.entry_budget * 2)
+
+    def _set_entry_budget(self, budget: int):
+        if budget == self.rcfg.entry_budget:
+            return
+        print(f"[entry budget] -> {budget}", flush=True)
+        self.rcfg = self.rcfg._replace(entry_budget=budget)
+        self._step_fn = make_train_step(
+            self.cfg, self.rcfg, self.weights, self.extent, self.trans,
+            self.scale, self.cfg.model.num_cls, self.app_tx, self.cls_tx)
 
     # -- box-guided densification (trainer.py:361-368, 687-702) --------------
 
