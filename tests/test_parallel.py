@@ -1,0 +1,63 @@
+"""Camera data-parallel training over the virtual 8-device CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vcr_gaus_tpu.parallel import dp
+
+
+@pytest.fixture(scope="module")
+def setup():
+    import __graft_entry__ as g
+    mesh = dp.data_mesh(8)
+    state = dp.replicate(g._synthetic_state(n=128, cap=256), mesh)
+    cams = dp.stack_cameras([g._synthetic_camera(idx=i, seed=i)
+                             for i in range(8)])
+    cams = dp.shard_camera_batch(cams, mesh)
+    return mesh, state, cams
+
+
+def test_devices_available():
+    assert len(jax.devices()) == 8
+
+
+def test_camera_dp_step_runs_and_reduces(setup):
+    from vcr_gaus_tpu.render.renderer import RenderConfig
+    mesh, state, cams = setup
+    rcfg = RenderConfig(width=64, height=48, ch_sem=0,
+                        depth_mode="traditional", entry_budget=1 << 13)
+    step = dp.make_camera_dp_step(rcfg, mesh, scene_extent=100.0)
+    st2, loss = step(state, cams, jnp.zeros(3), jnp.asarray(1e-3))
+    assert np.isfinite(float(loss))
+    moved = np.asarray(jnp.abs(st2.params.xyz - state.params.xyz))
+    assert moved.max() > 0
+    # replicated update: state identical on all shards (fully addressable)
+    assert st2.params.xyz.sharding.is_fully_replicated
+
+    # pmean actually mixes gradients: a 1-camera step on camera 0 alone
+    # differs from the 8-camera mean step
+    mesh1 = dp.data_mesh(1)
+    cams1 = dp.shard_camera_batch(
+        jax.tree.map(lambda x: np.asarray(x)[:1], cams), mesh1)
+    step1 = dp.make_camera_dp_step(rcfg, mesh1, scene_extent=100.0)
+    st_single, _ = step1(dp.replicate(jax.tree.map(np.asarray, state), mesh1),
+                         cams1, jnp.zeros(3), jnp.asarray(1e-3))
+    d = np.abs(np.asarray(st_single.params.xyz) - np.asarray(st2.params.xyz))
+    assert d.max() > 1e-6
+
+
+def test_scene_dispatch_runs_per_device():
+    devs = []
+
+    def make(i):
+        def f():
+            x = jnp.ones((8,)) * i
+            devs.append(list(x.devices())[0])
+            return float(x.sum())
+        return f
+
+    out = dp.scene_dispatch([make(i) for i in range(4)])
+    assert out == [0.0, 8.0, 16.0, 24.0]
+    assert len({d.id for d in devs}) == 4   # four distinct devices

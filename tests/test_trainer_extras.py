@@ -1,0 +1,94 @@
+"""Trainer with the full extras: decoupled appearance + semantic head, and
+the Blender (NeRF-synthetic) reader path."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from fixtures import write_colmap_scene
+from vcr_gaus_tpu.config import Config
+
+
+def test_trainer_with_appearance_and_semantic(tmp_path):
+    from vcr_gaus_tpu.train.trainer import Trainer
+    root = str(tmp_path / "scene")
+    write_colmap_scene(root, n_cams=4, n_pts=200, width=64, height=64,
+                       with_priors=True)
+    c = Config("configs/config_base.yaml")
+    c.logdir = str(tmp_path / "log")
+    c.model.source_path = root
+    c.model.resolution = 1
+    c.model.depth_type = "traditional"
+    c.model.use_decoupled_appearance = True
+    c.model.ch_sem_feat = 2
+    c.model.num_cls = 2
+    c.optim.loss_weight.semantic = 0.005
+    c.tpu.capacity = 512
+    tr = Trainer(c)
+    assert tr.net.app_params is not None
+    assert tr.net.cls_params is not None
+    emb0 = np.asarray(tr.net.app_embeddings).copy()
+    for _ in range(8):
+        losses, aux = tr.train_step()
+    assert np.isfinite(float(losses["total"]))
+    assert "semantic" in losses
+    assert 0 <= float(losses["semantic"]) <= 1.0
+    # appearance embeddings + classifier actually train
+    assert np.abs(np.asarray(tr.net.app_embeddings) - emb0).max() > 0
+    # saving writes the side networks too
+    tr.save()
+    out = os.path.join(c.logdir, "point_cloud",
+                       f"iteration_{tr.iteration}", "model.pkl")
+    assert os.path.exists(out)
+
+
+def test_blender_reader_and_training(tmp_path):
+    """Write a tiny NeRF-synthetic layout and train a few steps."""
+    from PIL import Image
+
+    from vcr_gaus_tpu.train.trainer import Trainer
+    from fixtures import make_cube_points, render_oracle_image, ring_cameras
+    root = tmp_path / "blender"
+    (root / "train").mkdir(parents=True)
+    (root / "test").mkdir()
+    pts, cols = make_cube_points(300)
+    fovx = 0.9
+    w, h = 64, 64
+    for split, cams in (("train", ring_cameras(6)),
+                        ("test", ring_cameras(2, dist=4.5))):
+        frames = []
+        for i, (R_w2c, T) in enumerate(cams):
+            w2c = np.eye(4)
+            w2c[:3, :3] = R_w2c
+            w2c[:3, 3] = T
+            c2w = np.linalg.inv(w2c)
+            c2w[:3, 1:3] *= -1          # back to OpenGL convention
+            img = render_oracle_image(pts, cols, R_w2c, T, w, h, fovx, 0.9)
+            rgba = np.concatenate([
+                np.clip(img, 0, 1),
+                np.ones((1, h, w), np.float32)], 0)
+            Image.fromarray((rgba.transpose(1, 2, 0) * 255).astype(
+                np.uint8), "RGBA").save(root / split / f"r_{i}.png")
+            frames.append({"file_path": f"./{split}/r_{i}",
+                           "transform_matrix": c2w.tolist()})
+        with open(root / f"transforms_{split}.json", "w") as f:
+            json.dump({"camera_angle_x": fovx, "frames": frames}, f)
+
+    c = Config("configs/config_base.yaml")
+    c.logdir = str(tmp_path / "log")
+    c.model.source_path = str(root)
+    c.model.resolution = 1
+    c.model.depth_type = "traditional"
+    c.model.eval = True
+    c.model.white_background = False
+    c.tpu.capacity = 2048
+    tr = Trainer(c)
+    assert len(tr.scene.train_cameras) == 6
+    assert len(tr.scene.test_cameras) == 2
+    l0 = None
+    for _ in range(10):
+        losses, _ = tr.train_step()
+        l0 = l0 or float(losses["l1"])
+    assert np.isfinite(float(losses["total"]))

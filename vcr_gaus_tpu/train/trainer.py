@@ -212,14 +212,21 @@ class Trainer:
         self.trans = np.asarray(info.trans, np.float32)
         self.scale = np.asarray(info.scale, np.float32)
 
-        n_init = len(info.points)
-        cap = int(cfg.tpu.capacity) or _auto_capacity(n_init)
+        pts = info.points.astype(np.float32)
+        cols = info.colors.astype(np.float32)
+        max_init = getattr(cfg.model, "max_init_points", None)
+        cap = int(cfg.tpu.capacity) or _auto_capacity(len(pts))
+        limit = min(x for x in (max_init, cap) if x)
+        if len(pts) > limit:
+            print(f"subsampling init cloud {len(pts)} -> {limit}")
+            sel = np.random.default_rng(cfg.seed).choice(
+                len(pts), limit, replace=False)
+            pts, cols = pts[sel], cols[sel]
         ch_sem = cfg.model.ch_sem_feat if w.get("semantic", 0) > 0 else 0
         self.ch_sem = ch_sem
         self.num_cls = cfg.model.num_cls
-        self.state = GM.create_from_pcd(
-            info.points.astype(np.float32), info.colors.astype(np.float32),
-            cap, cfg.model.sh_degree, ch_sem)
+        self.state = GM.create_from_pcd(pts, cols, cap, cfg.model.sh_degree,
+                                        ch_sem)
 
         cam0 = info.train_cameras[0]
         self.rcfg = RenderConfig(
