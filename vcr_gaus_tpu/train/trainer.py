@@ -115,15 +115,17 @@ def compute_losses(out, cam: CameraArrays, state: GM.GaussianState,
     return total, losses
 
 
-def make_train_step(cfg, rcfg: RenderConfig, weights: dict,
+def _make_step_impl(cfg, rcfg: RenderConfig, weights: dict,
                     scene_extent: float, trans, scale, num_cls: int,
                     app_tx, cls_tx):
-    """Build the jitted train step for fixed static gates + sh degree."""
+    """Shared per-camera step body. ``axis`` != None enables camera
+    data-parallelism: gradients/losses are pmean-ed over the mesh axis,
+    densification stats reduced (max radii/visibility, mean |d mean2d|) so
+    the replicated state stays identical on every chip."""
 
-    @functools.partial(jax.jit, static_argnames=("sh_degree", "gates"))
-    def train_step(state: GM.GaussianState, net: NetState,
-                   cam: CameraArrays, bg, lr_xyz, sh_degree: int,
-                   gates: Gates):
+    def step_impl(state: GM.GaussianState, net: NetState, cam: CameraArrays,
+                  bg, lr_xyz, *, sh_degree: int, gates: Gates,
+                  axis: str | None = None):
         inside_mask, _ = M.get_inside_normalized(state.params.xyz,
                                                  jnp.asarray(trans),
                                                  jnp.asarray(scale))
@@ -151,6 +153,18 @@ def make_train_step(cfg, rcfg: RenderConfig, weights: dict,
             net.cls_params)
         g_params, g_dummy, g_emb, g_app, g_cls = grads
 
+        radii = out["radii"]
+        visibility = out["visibility_filter"]
+        overflow = out["overflow"].astype(jnp.float32)
+        if axis is not None:
+            # ICI all-reduce of everything that feeds the replicated update
+            (g_params, g_dummy, g_emb, g_app, g_cls, losses) = jax.lax.pmean(
+                (g_params, g_dummy, g_emb, g_app, g_cls, losses), axis)
+            radii = jax.lax.pmax(radii, axis)
+            visibility = jax.lax.pmax(visibility.astype(jnp.int32),
+                                      axis) > 0
+            overflow = jax.lax.pmax(overflow, axis)
+
         # gaussian Adam
         g_params = GM.mask_grads(g_params, state.active)
         lrs = GM.LearningRates(
@@ -162,7 +176,7 @@ def make_train_step(cfg, rcfg: RenderConfig, weights: dict,
 
         # densification statistics (trainer.py:343-347)
         new_state = GM.add_densification_stats(
-            new_state, g_dummy, out["radii"], out["visibility_filter"])
+            new_state, g_dummy, radii, visibility)
 
         # side networks
         new_net = net
@@ -179,9 +193,59 @@ def make_train_step(cfg, rcfg: RenderConfig, weights: dict,
                 cls_params=optax.apply_updates(net.cls_params, upd),
                 cls_opt=new_opt)
 
-        aux = {"overflow": out["overflow"], "num_entries": out["num_entries"],
+        aux = {"overflow": overflow > 0,
+               "num_entries": out["num_entries"],
                "n_active": new_state.num_active}
         return new_state, new_net, losses, aux
+
+    return step_impl
+
+
+def make_train_step(cfg, rcfg: RenderConfig, weights: dict,
+                    scene_extent: float, trans, scale, num_cls: int,
+                    app_tx, cls_tx):
+    """Single-chip jitted train step."""
+    impl = _make_step_impl(cfg, rcfg, weights, scene_extent, trans, scale,
+                           num_cls, app_tx, cls_tx)
+
+    @functools.partial(jax.jit, static_argnames=("sh_degree", "gates"))
+    def train_step(state, net, cam, bg, lr_xyz, sh_degree: int, gates: Gates):
+        return impl(state, net, cam, bg, lr_xyz, sh_degree=sh_degree,
+                    gates=gates)
+
+    return train_step
+
+
+def make_dp_train_step(cfg, rcfg: RenderConfig, weights: dict,
+                       scene_extent: float, trans, scale, num_cls: int,
+                       app_tx, cls_tx, mesh, axis: str = "data"):
+    """Camera-data-parallel train step over a device mesh: the state and
+    networks are replicated, the camera batch (leading dim == mesh size) is
+    sharded one-per-chip, gradients ride the ICI as a pmean (SURVEY.md §5.8's
+    stretch camera-parallel mode)."""
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    impl = _make_step_impl(cfg, rcfg, weights, scene_extent, trans, scale,
+                           num_cls, app_tx, cls_tx)
+
+    @functools.lru_cache(maxsize=None)
+    def build(sh_degree: int, gates: Gates):
+        def local(state, net, cam_batch, bg, lr_xyz):
+            cam = jax.tree.map(lambda x: x[0], cam_batch)
+            return impl(state, net, cam, bg, lr_xyz, sh_degree=sh_degree,
+                        gates=gates, axis=axis)
+
+        sharded = shard_map(
+            local, mesh=mesh,
+            in_specs=(P(), P(), P(axis), P(), P()),
+            out_specs=(P(), P(), P(), P()),
+            check_rep=False)
+        return jax.jit(sharded)
+
+    def train_step(state, net, cam_batch, bg, lr_xyz, sh_degree: int,
+                   gates: Gates):
+        return build(sh_degree, gates)(state, net, cam_batch, bg, lr_xyz)
 
     return train_step
 
@@ -256,9 +320,16 @@ class Trainer:
         self.net = NetState(app_emb, app_params, app_opt, cls_params,
                             cls_opt)
 
-        self._step_fn = make_train_step(
-            cfg, self.rcfg, w, self.extent, self.trans, self.scale,
-            cfg.model.num_cls, self.app_tx, self.cls_tx)
+        self.camera_batch = max(int(getattr(cfg.tpu, "camera_batch", 1)), 1)
+        self.mesh = None
+        if self.camera_batch > 1:
+            from ..parallel import dp
+            if len(jax.devices()) < self.camera_batch:
+                raise ValueError(
+                    f"tpu.camera_batch={self.camera_batch} needs that many "
+                    f"devices (have {len(jax.devices())})")
+            self.mesh = dp.data_mesh(self.camera_batch)
+        self._build_step_fn()
         self._densify_fn = jax.jit(functools.partial(
             GM.densify_and_prune,
             grad_threshold=cfg.optim.densify_grad_threshold,
@@ -335,7 +406,13 @@ class Trainer:
 
     def train_step(self):
         self.iteration += 1
-        cam = self._pick_camera()
+        if self.mesh is not None:
+            from ..parallel import dp
+            cams = [self._cam_arrays[self._next_camera_index()]
+                    for _ in range(self.camera_batch)]
+            cam = dp.shard_camera_batch(dp.stack_cameras(cams), self.mesh)
+        else:
+            cam = self._pick_camera()
         bg = (np.random.default_rng(self.iteration).random(3).astype(
             np.float32) if self.cfg.optim.random_background else self.bg)
         self.state, self.net, losses, aux = self._step_fn(
@@ -449,9 +526,15 @@ class Trainer:
             return
         print(f"[entry budget] -> {budget}", flush=True)
         self.rcfg = self.rcfg._replace(entry_budget=budget)
-        self._step_fn = make_train_step(
-            self.cfg, self.rcfg, self.weights, self.extent, self.trans,
-            self.scale, self.cfg.model.num_cls, self.app_tx, self.cls_tx)
+        self._build_step_fn()
+
+    def _build_step_fn(self):
+        args = (self.cfg, self.rcfg, self.weights, self.extent, self.trans,
+                self.scale, self.cfg.model.num_cls, self.app_tx, self.cls_tx)
+        if self.mesh is not None:
+            self._step_fn = make_dp_train_step(*args, mesh=self.mesh)
+        else:
+            self._step_fn = make_train_step(*args)
 
     # -- box-guided densification (trainer.py:361-368, 687-702) --------------
 
