@@ -463,12 +463,20 @@ class Trainer:
         return self.history
 
     def run_test(self):
-        """Periodic PSNR/L1 sweep over train+test views
-        (trainer.py:504-587)."""
+        """Periodic PSNR/L1 sweep over train+test views + image panels
+        (trainer.py:452-494, 504-587)."""
         res = {"train": self.evaluate(max_cams=8)}
         test_cams = self.scene.test_cameras
         if test_cams:
             res["test"] = self.evaluate(test_cams, max_cams=8)
+        # visualization strip for one view
+        from . import visualization as VZ
+        cam = self._cam_arrays[0]
+        out = render(self.state, cam, self.rcfg, jnp.asarray(self.bg),
+                     self._sh_degree(), scene_extent=self.extent)
+        VZ.save_panels(os.path.join(self.cfg.logdir, "vis"),
+                       f"iter_{self.iteration:06d}", out, cam.image,
+                       num_cls=self.num_cls if self.ch_sem else 0)
         print(f"[ITER {self.iteration}] " + "  ".join(
             f"{k}: psnr={v['psnr']:.2f} l1={v['l1']:.4f}"
             for k, v in res.items()), flush=True)
@@ -486,15 +494,18 @@ class Trainer:
                     self._tb.scalar(f"train/{k}", v, rec["iter"])
 
     def save_checkpoint(self):
-        extra = {"rng_state": self.rng.getstate()}
+        extra = {"net": jax.tree.map(np.asarray, self.net._asdict())}
         ply_io.save_checkpoint(
             os.path.join(self.cfg.logdir, f"chkpnt{self.iteration}.npz"),
-            self.state, self.iteration, extra=None)
+            self.state, self.iteration, extra=extra)
 
     def restore_checkpoint(self, path: str):
         """Resume from a full checkpoint (the reference's
         --train.start_checkpoint, trainer.py:169-172)."""
-        self.state, self.iteration, _ = ply_io.load_checkpoint(path)
+        self.state, self.iteration, extra = ply_io.load_checkpoint(path)
+        if extra.get("net") and any(v is not None
+                                    for v in extra["net"].values()):
+            self.net = NetState(**extra["net"])
 
     # -- adaptive buffers (the reference's 22GiB memory guard analog,
     #    gaussian_model.py:588 — here buffers grow with a recompile) ---------
