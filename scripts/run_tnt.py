@@ -43,7 +43,10 @@ def main():
     for scene in args.scenes:
         logdir = os.path.join(args.out, scene)
         src = os.path.join(args.data_root, scene)
-        train_cmd = [py, "train.py", "--config=configs/tnt/base.yaml",
+        scene_cfg = f"configs/tnt/{scene}.yaml"
+        if not os.path.exists(os.path.join(REPO, scene_cfg)):
+            scene_cfg = "configs/tnt/base.yaml"
+        train_cmd = [py, "train.py", f"--config={scene_cfg}",
                      f"--model.source_path={src}", f"--logdir={logdir}"]
         if args.iterations:
             train_cmd.append(f"--optim.iterations={args.iterations}")
