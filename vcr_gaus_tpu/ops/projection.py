@@ -67,48 +67,80 @@ def project_gaussians(
     near-plane cull at z<=0.2, EWA Jacobian with ±1.3*tanfov frustum clamp,
     +0.3px isotropic dilation, radius = ceil(3 sqrt(lambda_max)).
     """
-    n = means3d.shape[0]
-    ones = jnp.ones((n, 1), means3d.dtype)
-    hom = jnp.concatenate([means3d, ones], axis=1)
+    # Everything below is explicit scalar-component algebra over (N,)
+    # vectors: batched 3x3 matmuls (the natural torch/CUDA phrasing) lower to
+    # MXU ops with 3->128 contraction padding on TPU, ~40x wasted FLOPs and a
+    # measured ~8ms at N=131k; the expanded form is pure VPU elementwise that
+    # XLA fuses into one pass.
+    from ..utils.math import safe_normalize
 
-    from ..utils.math import mm, quat_to_rotmat
+    x, y, z3 = means3d[:, 0], means3d[:, 1], means3d[:, 2]
+    V = viewmatrix
 
-    p_view = mm(hom, viewmatrix[:, :3])                   # (N,3) camera space
-    p_clip = mm(hom, projmatrix)                          # (N,4)
-    p_w = 1.0 / (p_clip[:, 3:4] + 1e-7)
-    p_ndc = p_clip[:, :3] * p_w
+    # camera-space position: [x y z 1] @ V (row-vector convention)
+    tx = x * V[0, 0] + y * V[1, 0] + z3 * V[2, 0] + V[3, 0]
+    ty = x * V[0, 1] + y * V[1, 1] + z3 * V[2, 1] + V[3, 1]
+    tz = x * V[0, 2] + y * V[1, 2] + z3 * V[2, 2] + V[3, 2]
+    p_view = jnp.stack([tx, ty, tz], axis=-1)
 
-    # 3D covariance in world space
-    R = quat_to_rotmat(quats)
-    S = scales * scale_modifier
-    L = R * S[:, None, :]
-    cov3d = mm(L, jnp.swapaxes(L, 1, 2))                  # (N,3,3)
+    Pm = projmatrix
+    cx = x * Pm[0, 0] + y * Pm[1, 0] + z3 * Pm[2, 0] + Pm[3, 0]
+    cy = x * Pm[0, 1] + y * Pm[1, 1] + z3 * Pm[2, 1] + Pm[3, 1]
+    cw = x * Pm[0, 3] + y * Pm[1, 3] + z3 * Pm[2, 3] + Pm[3, 3]
+    p_w = 1.0 / (cw + 1e-7)
+
+    # rotation matrix components from the (normalized) quaternion
+    q = safe_normalize(quats)
+    qw, qx, qy, qz = q[:, 0], q[:, 1], q[:, 2], q[:, 3]
+    r00 = 1 - 2 * (qy * qy + qz * qz)
+    r01 = 2 * (qx * qy - qw * qz)
+    r02 = 2 * (qx * qz + qw * qy)
+    r10 = 2 * (qx * qy + qw * qz)
+    r11 = 1 - 2 * (qx * qx + qz * qz)
+    r12 = 2 * (qy * qz - qw * qx)
+    r20 = 2 * (qx * qz - qw * qy)
+    r21 = 2 * (qy * qz + qw * qx)
+    r22 = 1 - 2 * (qx * qx + qy * qy)
+    s0 = scales[:, 0] * scale_modifier
+    s1 = scales[:, 1] * scale_modifier
+    s2 = scales[:, 2] * scale_modifier
 
     # EWA projection to 2D
     fx = width / (2.0 * tanfovx)
     fy = height / (2.0 * tanfovy)
-    tz = p_view[:, 2]
     tz_safe = jnp.where(jnp.abs(tz) < 1e-6, 1e-6, tz)
     lim_x, lim_y = 1.3 * tanfovx, 1.3 * tanfovy
-    txtz = jnp.clip(p_view[:, 0] / tz_safe, -lim_x, lim_x) * tz
-    tytz = jnp.clip(p_view[:, 1] / tz_safe, -lim_y, lim_y) * tz
+    txtz = jnp.clip(tx / tz_safe, -lim_x, lim_x) * tz
+    tytz = jnp.clip(ty / tz_safe, -lim_y, lim_y) * tz
 
     inv_z = 1.0 / tz_safe
     inv_z2 = inv_z * inv_z
-    zeros = jnp.zeros_like(tz)
-    J = jnp.stack(
-        [
-            jnp.stack([fx * inv_z, zeros, -fx * txtz * inv_z2], axis=-1),
-            jnp.stack([zeros, fy * inv_z, -fy * tytz * inv_z2], axis=-1),
-        ],
-        axis=1,
-    )                                                     # (N,2,3)
-    W3 = viewmatrix[:3, :3].T                             # world->cam rotation
-    Tm = mm(J, W3)                                        # (N,2,3)
-    cov2d = mm(mm(Tm, cov3d), jnp.swapaxes(Tm, 1, 2))     # (N,2,2)
-    a = cov2d[:, 0, 0] + 0.3
-    b = cov2d[:, 0, 1]
-    c = cov2d[:, 1, 1] + 0.3
+    # J rows: [fx/z, 0, -fx*tx/z^2], [0, fy/z, -fy*ty/z^2]; T = J @ W^T where
+    # W = V[:3,:3] is the world->cam rotation (W3[i,j] = V[j,i]).
+    j00 = fx * inv_z
+    j02 = -fx * txtz * inv_z2
+    j11 = fy * inv_z
+    j12 = -fy * tytz * inv_z2
+    t00 = j00 * V[0, 0] + j02 * V[0, 2]
+    t01 = j00 * V[1, 0] + j02 * V[1, 2]
+    t02 = j00 * V[2, 0] + j02 * V[2, 2]
+    t10 = j11 * V[0, 1] + j12 * V[0, 2]
+    t11 = j11 * V[1, 1] + j12 * V[1, 2]
+    t12 = j11 * V[2, 1] + j12 * V[2, 2]
+
+    # U = T @ (R diag(s)); cov2d = U U^T (Sigma = R S S^T R^T pulled through)
+    m00 = t00 * r00 + t01 * r10 + t02 * r20
+    m01 = t00 * r01 + t01 * r11 + t02 * r21
+    m02 = t00 * r02 + t01 * r12 + t02 * r22
+    m10 = t10 * r00 + t11 * r10 + t12 * r20
+    m11 = t10 * r01 + t11 * r11 + t12 * r21
+    m12 = t10 * r02 + t11 * r12 + t12 * r22
+    u00, u01, u02 = m00 * s0, m01 * s1, m02 * s2
+    u10, u11, u12 = m10 * s0, m11 * s1, m12 * s2
+
+    a = u00 * u00 + u01 * u01 + u02 * u02 + 0.3
+    b = u00 * u10 + u01 * u11 + u02 * u12
+    c = u10 * u10 + u11 * u11 + u12 * u12 + 0.3
 
     det = a * c - b * b
     det_safe = jnp.where(det == 0, 1.0, det)
@@ -119,8 +151,8 @@ def project_gaussians(
     radius_f = jnp.ceil(3.0 * jnp.sqrt(lam1))
 
     mean2d = jnp.stack(
-        [((p_ndc[:, 0] + 1.0) * width - 1.0) * 0.5,
-         ((p_ndc[:, 1] + 1.0) * height - 1.0) * 0.5],
+        [((cx * p_w + 1.0) * width - 1.0) * 0.5,
+         ((cy * p_w + 1.0) * height - 1.0) * 0.5],
         axis=-1,
     )
 

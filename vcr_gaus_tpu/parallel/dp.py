@@ -73,12 +73,12 @@ def make_camera_dp_step(rcfg: RenderConfig, mesh: Mesh,
         new_state = GM.adam_step(state, grads, lrs)
         return new_state, loss
 
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     sharded = shard_map(
         local_step, mesh=mesh,
         in_specs=(P(), P(axis), P(), P()),
         out_specs=(P(), P()),
-        check_rep=False)
+        check_vma=False)
     return jax.jit(sharded)
 
 

@@ -223,7 +223,7 @@ def make_dp_train_step(cfg, rcfg: RenderConfig, weights: dict,
     networks are replicated, the camera batch (leading dim == mesh size) is
     sharded one-per-chip, gradients ride the ICI as a pmean (SURVEY.md §5.8's
     stretch camera-parallel mode)."""
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
     impl = _make_step_impl(cfg, rcfg, weights, scene_extent, trans, scale,
@@ -240,7 +240,7 @@ def make_dp_train_step(cfg, rcfg: RenderConfig, weights: dict,
             local, mesh=mesh,
             in_specs=(P(), P(), P(axis), P(), P()),
             out_specs=(P(), P(), P(), P()),
-            check_rep=False)
+            check_vma=False)
         return jax.jit(sharded)
 
     def train_step(state, net, cam_batch, bg, lr_xyz, sh_degree: int,
