@@ -72,7 +72,7 @@ def main():
                "depth_normal": 0.015, "l1_scale": 1.0}
     rcfg = RenderConfig(width=WIDTH, height=HEIGHT, ch_sem=0,
                         depth_mode="intersection",
-                        entry_budget=1 << 20, mask_depth_thr=0.8)
+                        entry_budget=1 << 19, mask_depth_thr=0.8)
     step = make_train_step(cfg, rcfg, weights, 4.0,
                            np.zeros(3, np.float32),
                            np.full(3, 4.0, np.float32), 0, None, None)

@@ -216,3 +216,33 @@ def test_binning_exact_coverage():
         # front-to-back depth order within the tile
         d = np.asarray(depth_z)[gid[starts[t]:starts[t] + counts[t]]]
         assert np.all(np.diff(d) >= 0)
+
+
+def test_entry_builder_grad_matches_scatter_even_truncated():
+    """The scatter-free segment-sum backward of the entry builder must equal
+    a direct scatter-add by sorted gid — including when the entry budget
+    truncates the expansion (tail gaussians then simply receive the sums of
+    their kept entries)."""
+    feats, radius, cam = make_scene(n=80, seed=9, ch_sem=0)
+    mean2d = feats[:, [PF.F_MEAN_X, PF.F_MEAN_Y]]
+    depth_z = feats[:, PF.F_DEPTH_Z]
+    n = feats.shape[0]
+    rng = np.random.default_rng(3)
+
+    for budget in (4096, 128):     # 128 forces truncation on this scene
+        binn = B.bin_gaussians(mean2d, radius, depth_z, W, H, R.TILE, budget)
+        build = R._make_entry_builder(W, H, budget)
+        payload = jnp.asarray(rng.normal(size=(n, 8)).astype(np.float32))
+        cot = jnp.asarray(
+            rng.normal(size=(binn.sorted_gid.shape[0], 8)).astype(np.float32))
+
+        def f(p):
+            entries, _ = build(p, mean2d, radius, depth_z)
+            return jnp.vdot(entries, cot)
+
+        got = np.asarray(jax.grad(f)(payload))
+        want = np.asarray(
+            jnp.zeros((n, 8)).at[binn.sorted_gid].add(cot, mode="drop"))
+        if budget == 128:
+            assert bool(binn.overflow)
+        np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)

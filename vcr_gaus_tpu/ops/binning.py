@@ -57,6 +57,8 @@ class Binning(NamedTuple):
     tile_counts: jnp.ndarray   # (T,) int32 valid entries per tile
     num_entries: jnp.ndarray   # () int32 total valid entries (pre-truncation)
     overflow: jnp.ndarray      # () bool — entry budget exceeded
+    gauss_offsets: jnp.ndarray # (N,) int32 exclusive entry-count cumsum
+    gauss_counts: jnp.ndarray  # (N,) int32 entries per gaussian
 
 
 def cdiv(a: int, b: int) -> int:
@@ -154,7 +156,11 @@ def bin_and_gather(
     overflow = overflow | jnp.any(~fits)
 
     # ---- expansion: gaussian-id forward fill + ONE aux row gather ----
-    first_slot = jnp.where(count > 0, jnp.minimum(offsets, entry_budget - 1),
+    # gaussians whose entries start past the budget are dropped entirely
+    # (marking them anywhere inside would clobber the last kept gaussian's
+    # slots); kept entries are then EXACTLY expansion slots [0, min(total,
+    # budget)) — the invariant the segment-sum backward relies on
+    first_slot = jnp.where((count > 0) & (offsets < entry_budget), offsets,
                            entry_budget)
     gid = _fill_monotonic(jnp.arange(n, dtype=jnp.int32), first_slot,
                           entry_budget)                    # (E,) ascending
@@ -214,7 +220,8 @@ def bin_and_gather(
 
     binn = Binning(sorted_gid=sorted_gid, tile_starts=tile_starts,
                    tile_counts=tile_counts, num_entries=total,
-                   overflow=overflow)
+                   overflow=overflow, gauss_offsets=offsets,
+                   gauss_counts=count)
     entries_al = None
     if payload is not None:
         payload_z = jnp.concatenate(

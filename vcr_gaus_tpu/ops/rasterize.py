@@ -10,9 +10,9 @@ autograd, reference gaussian_renderer/__init__.py:107-120) — two custom_vjp
 boundaries keep every backward op cheap on TPU:
 
   * entry building (payload -> aligned per-entry rows): forward is one row
-    gather by aligned gid; backward is ONE scatter-add by the same ids
-    (autodiff of the gather would emit an equivalent scatter, but the
-    explicit boundary also severs the non-differentiable binning plumbing);
+    gather by aligned gid; backward is a scatter-free sorted segment-sum
+    (autodiff of the gather would emit a slow TPU scatter; the explicit
+    boundary also severs the non-differentiable binning plumbing);
   * the Pallas kernel pair: forward compositing / analytic backward
     emitting per-entry gradients, including two extra rows of |d mean2d|
     densification statistics that flow back as the gradient of the
@@ -37,7 +37,14 @@ TILE = K.TILE
 @functools.lru_cache(maxsize=None)
 def _make_entry_builder(width: int, height: int, entry_budget: int):
     """custom_vjp: (payload (N,C), geometry) -> (entries_al (E_al,C), Binning).
-    Backward = one scatter-add by aligned gid."""
+
+    Backward reduces per-entry gradients to per-Gaussian gradients WITHOUT a
+    scatter (measured ~13ms @ 770k x 16 rows): one gid sort groups the
+    gradient rows so each gaussian's entries are contiguous (= the expansion
+    order the binning itself used), then a cumsum + boundary-difference
+    yields all segment sums with two small row gathers. Segment boundaries
+    are the binning's per-gaussian offsets, clamped to the kept-entry count,
+    which stays exact even when the entry budget truncated the expansion."""
 
     def _run(payload, mean2d, radius, depth_z):
         return B.bin_and_gather(mean2d, radius, depth_z, payload,
@@ -51,13 +58,21 @@ def _make_entry_builder(width: int, height: int, entry_budget: int):
 
     def build_fwd(payload, mean2d, radius, depth_z):
         binn, entries = _run(payload, mean2d, radius, depth_z)
-        return (entries, binn), (binn.sorted_gid, payload.shape[0])
+        return (entries, binn), (binn.sorted_gid, binn.gauss_offsets,
+                                 binn.gauss_counts, binn.num_entries)
 
     def build_bwd(res, cot):
-        g_entries, _ = cot
-        gid_al, n = res
-        g_payload = jnp.zeros((n, g_entries.shape[1]), jnp.float32).at[
-            gid_al].add(g_entries, mode="drop")       # gid==n rows dropped
+        g_entries, _ = cot                            # (E_al, C)
+        gid_al, offs, cnts, total = res
+        e_al, c = g_entries.shape
+        iota = jnp.arange(e_al, dtype=jnp.int32)
+        _, perm = jax.lax.sort((gid_al, iota), num_keys=1)
+        csum = jnp.cumsum(g_entries[perm], axis=0)
+        csum = jnp.concatenate([jnp.zeros((1, c), csum.dtype), csum], 0)
+        kept = jnp.minimum(total, entry_budget)
+        lo = jnp.minimum(offs, kept)
+        hi = jnp.minimum(offs + cnts, kept)
+        g_payload = csum[hi] - csum[lo]
         return (g_payload, None, None, None)
 
     build.defvjp(build_fwd, build_bwd)
@@ -67,7 +82,7 @@ def _make_entry_builder(width: int, height: int, entry_budget: int):
 @functools.lru_cache(maxsize=None)
 def _make_core(ch_sem: int, depth_mode: str, n_tx: int, n_ty: int):
     """custom_vjp-wrapped Pallas forward/backward for fixed static config.
-    The gradient of feats_t includes the |d mean2d| densification rows at
+    The gradient of feats_e includes the |d mean2d| densification cols at
     nfeat+0/1 (= the dummy payload columns)."""
     nfeat = PF.feature_dim(ch_sem)
     f_pad = K.feat_rows(ch_sem)
@@ -86,11 +101,10 @@ def _make_core(ch_sem: int, depth_mode: str, n_tx: int, n_ty: int):
         gfeat = K.rasterize_backward(feats_t, tile_starts, tile_counts, cam,
                                      g_out, out, n_tx, n_ty, ch_sem,
                                      depth_mode)
-        g = gfeat[:f_pad]
         # rows beyond the feature+stats block are scratch padding
         if f_pad > nfeat + K.N_EXTRA_GRAD:
-            g = g.at[nfeat + K.N_EXTRA_GRAD:].set(0.0)
-        return (g, None, None, None)
+            gfeat = gfeat.at[nfeat + K.N_EXTRA_GRAD:].set(0.0)
+        return (gfeat, None, None, None)
 
     core.defvjp(core_fwd, core_bwd)
     return core
@@ -116,13 +130,17 @@ def rasterize_image(
     n_tx, n_ty = B.tile_grid(width, height, TILE)
     f_pad = K.feat_rows(ch_sem)
 
-    payload = jnp.concatenate([feats, dummy2d], axis=1)    # (N, F+2)
+    # payload carries the feature cols, the dummy densify-stats cols and the
+    # kernel's row padding, so feats_t is ONE fused transpose of the gather
+    # output (no extra zero-fill + set copy)
+    pad_c = f_pad - (F + 2)
+    cols = [feats, dummy2d]
+    if pad_c:
+        cols.append(jnp.zeros((n, pad_c), feats.dtype))
+    payload = jnp.concatenate(cols, axis=1)                # (N, F_PAD)
     build = _make_entry_builder(width, height, entry_budget)
     entries_al, binn = build(payload, mean2d, radius, depth_z)
-    e_al = entries_al.shape[0]
-
-    feats_t = jnp.zeros((f_pad, e_al), jnp.float32).at[:F + 2].set(
-        entries_al.T)
+    feats_t = entries_al.T                                 # (F_PAD, E_al)
 
     core = _make_core(ch_sem, depth_mode, n_tx, n_ty)
     out_tiles = core(feats_t, binn.tile_starts, binn.tile_counts, cam)
@@ -142,14 +160,16 @@ def rasterize_entry_stats(feats, mean2d, radius, depth_z, cam, width, height,
     n, F = feats.shape
     n_tx, n_ty = B.tile_grid(width, height, TILE)
     f_pad = K.feat_rows(ch_sem)
+    pad_c = f_pad - F
+    payload = (jnp.concatenate([feats, jnp.zeros((n, pad_c), feats.dtype)], 1)
+               if pad_c else feats)
     binn, entries_al = B.bin_and_gather(
-        mean2d, radius, depth_z, feats, width, height, TILE, entry_budget,
+        mean2d, radius, depth_z, payload, width, height, TILE, entry_budget,
         align=K.G)
-    e_al = entries_al.shape[0]
-    feats_t = jnp.zeros((f_pad, e_al), jnp.float32).at[:F].set(entries_al.T)
 
-    stats = K.rasterize_stats(feats_t, binn.tile_starts, binn.tile_counts,
-                              cam, n_tx, n_ty, width, height)
+    stats = K.rasterize_stats(entries_al.T, binn.tile_starts,
+                              binn.tile_counts, cam, n_tx, n_ty, width,
+                              height)
     gid = binn.sorted_gid                                # (E_al,), n = invalid
     count = jnp.zeros((n,), jnp.float32).at[gid].add(stats[0], mode="drop")
     imp = jnp.zeros((n,), jnp.float32).at[gid].add(stats[1], mode="drop")
