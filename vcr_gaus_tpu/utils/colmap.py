@@ -122,12 +122,22 @@ def read_cameras_text(path: str) -> dict[int, ColmapCamera]:
 def read_images_text(path: str) -> dict[int, ColmapImage]:
     imgs = {}
     with open(path) as f:
-        lines = [ln.strip() for ln in f if ln.strip() and not ln.startswith("#")]
-    for meta in lines[::2]:  # every other line is the 2D feature list
-        el = meta.split()
-        imgs[int(el[0])] = ColmapImage(
-            int(el[0]), np.array([float(v) for v in el[1:5]]),
-            np.array([float(v) for v in el[5:8]]), int(el[8]), el[9])
+        lines = [ln.strip() for ln in f if not ln.startswith("#")]
+    # each image is a meta line followed by a 2D-feature line that COLMAP
+    # leaves EMPTY for images without triangulated points — so alternate
+    # state rather than slicing every other non-blank line
+    expect_meta = True
+    for ln in lines:
+        if expect_meta:
+            if not ln:
+                continue
+            el = ln.split()
+            imgs[int(el[0])] = ColmapImage(
+                int(el[0]), np.array([float(v) for v in el[1:5]]),
+                np.array([float(v) for v in el[5:8]]), int(el[8]), el[9])
+            expect_meta = False
+        else:
+            expect_meta = True
     return imgs
 
 
