@@ -151,3 +151,30 @@ def test_extract_priors_depth_and_allfg(tmp_path):
                         "--source", str(src)], env=env,
                        capture_output=True, text=True)
     assert r.returncode != 0 and "DSINE" in (r.stdout + r.stderr)
+
+
+def test_convert_dtu_cli(tmp_path):
+    from PIL import Image
+    from vcr_gaus_tpu.utils.ply import write_points_ply
+    rng = np.random.default_rng(4)
+    scan = tmp_path / "scan7" / "images"
+    scan.mkdir(parents=True)
+    for i in [0, 8, 20]:
+        Image.fromarray(np.zeros((4, 4, 3), np.uint8)).save(
+            scan / f"{i:06d}.png")
+    stl_dir = tmp_path / "Points" / "stl"
+    stl_dir.mkdir(parents=True)
+    write_points_ply(str(stl_dir / "stl007_total.ply"),
+                     rng.normal(size=(500, 3)))
+
+    env = dict(os.environ, JAX_PLATFORMS="cpu",
+               PYTHONPATH=REPO + os.pathsep + os.environ.get("PYTHONPATH", ""))
+    r = subprocess.run([sys.executable,
+                        os.path.join(REPO, "scripts", "convert_dtu.py"),
+                        "--dtu_path", str(tmp_path), "--subsample", "1"],
+                       env=env, capture_output=True, text=True)
+    assert r.returncode == 0, r.stderr
+    meta = json.load(open(tmp_path / "scan7" / "meta.json"))
+    assert np.asarray(meta["trans"]).shape == (4, 4)
+    assert meta["test"] == ["000008"]
+    assert meta["train"] == ["000000", "000020"]
