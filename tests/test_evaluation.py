@@ -101,3 +101,47 @@ def test_nvs_metrics(tmp_path):
     p = nvs.psnr(noisy, img)
     assert 15 < p < 25
     assert nvs.lpips(img, img) is None   # gated without weights
+
+
+def test_lpips_jax_with_synthetic_weights(tmp_path):
+    """LPIPS architecture invariants that hold for ANY weights: d(x,x)=0,
+    symmetry, positivity, and the torch-state-dict loading path."""
+    import numpy as np
+    rng = np.random.default_rng(0)
+
+    # minimal vgg16-features-shaped weight set (channel sizes of the real
+    # net's conv layers, torchvision layout features.N.{weight,bias})
+    chans = {0: (64, 3), 2: (64, 64), 5: (128, 64), 7: (128, 128),
+             10: (256, 128), 12: (256, 256), 14: (256, 256),
+             17: (512, 256), 19: (512, 512), 21: (512, 512),
+             24: (512, 512), 26: (512, 512), 28: (512, 512)}
+    vgg = {}
+    for i, (co, ci) in chans.items():
+        vgg[f"features.{i}.weight"] = rng.normal(
+            scale=0.05, size=(co, ci, 3, 3)).astype(np.float32)
+        vgg[f"features.{i}.bias"] = np.zeros(co, np.float32)
+    lin = {f"lin{i}.model.1.weight":
+           np.abs(rng.normal(size=(1, c, 1, 1))).astype(np.float32)
+           for i, c in enumerate([64, 128, 256, 512, 512])}
+    np.savez(tmp_path / "vgg.npz", **vgg)
+    np.savez(tmp_path / "lin.npz", **lin)
+
+    from vcr_gaus_tpu.evaluation.lpips_jax import LPIPS
+    lp = LPIPS(str(tmp_path / "vgg.npz"), str(tmp_path / "lin.npz"))
+    a = rng.uniform(0, 1, (3, 64, 64)).astype(np.float32)
+    b = rng.uniform(0, 1, (3, 64, 64)).astype(np.float32)
+    assert abs(lp(a, a)) < 1e-6
+    dab, dba = lp(a, b), lp(b, a)
+    assert dab > 1e-4 and abs(dab - dba) < 1e-5
+    # a small perturbation scores closer than an unrelated image
+    assert lp(a, np.clip(a + 0.01, 0, 1)) < dab
+
+    # torch state-dict loading path
+    import torch
+    torch.save({k: torch.from_numpy(v) for k, v in vgg.items()},
+               tmp_path / "vgg.pth")
+    lp2 = LPIPS(str(tmp_path / "vgg.pth"), str(tmp_path / "lin.npz"))
+    np.testing.assert_allclose(lp2(a, b), dab, rtol=1e-5)
+
+    assert LPIPS.maybe(None, None) is None
+    assert LPIPS.maybe("/nonexistent", str(tmp_path / "lin.npz")) is None

@@ -20,7 +20,11 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--config", required=True)
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--wandb", action="store_true",
+                        help="log to wandb (needs the package installed)")
     args, overrides = parser.parse_known_args()
+    if args.wandb:
+        os.environ["VCR_WANDB"] = "1"
 
     cfg = Config(args.config, overrides=overrides)
     if not cfg.logdir:

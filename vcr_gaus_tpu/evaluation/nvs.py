@@ -27,13 +27,14 @@ def ssim(img, gt) -> float:
     return float(_ssim(jnp.asarray(img), jnp.asarray(gt)))
 
 
-def lpips(img, gt, weights_path: str | None = None):
-    """Gated LPIPS(vgg): needs a local torchvision-style VGG16 weights file
-    (zero-egress image). Returns None when unavailable."""
-    if weights_path is None or not os.path.exists(weights_path):
-        return None
-    raise NotImplementedError(
-        "provide VGG16 weights and wire lpips here when assets are present")
+def lpips(img, gt, vgg_path: str | None = None, lin_path: str | None = None):
+    """LPIPS(vgg) via the pure-JAX implementation (evaluation/lpips_jax.py);
+    weights are user-provided files (zero-egress image) — returns None when
+    unavailable. Paths default to $LPIPS_VGG_PATH / $LPIPS_LIN_PATH."""
+    from .lpips_jax import LPIPS
+    fn = LPIPS.maybe(vgg_path or os.environ.get("LPIPS_VGG_PATH"),
+                     lin_path or os.environ.get("LPIPS_LIN_PATH"))
+    return None if fn is None else fn(img, gt)
 
 
 def render_sets(state, cameras, rcfg, bg, out_dir: str, sh_degree: int = 3,
@@ -63,9 +64,13 @@ def render_sets(state, cameras, rcfg, bg, out_dir: str, sh_degree: int = 3,
 
 
 def evaluate_dir(out_dir: str) -> dict:
-    """PSNR/SSIM over saved renders vs gt (evaluation/metrics.py:42-95);
-    writes results.json + per_view.json."""
+    """PSNR/SSIM/LPIPS over saved renders vs gt (evaluation/metrics.py:42-95);
+    writes results.json + per_view.json. LPIPS is included when weight files
+    are available (see `lpips`)."""
     from PIL import Image
+    from .lpips_jax import LPIPS
+    lp = LPIPS.maybe(os.environ.get("LPIPS_VGG_PATH"),
+                     os.environ.get("LPIPS_LIN_PATH"))
     rdir = os.path.join(out_dir, "renders")
     gdir = os.path.join(out_dir, "gt")
     names = sorted(os.listdir(rdir))
@@ -76,10 +81,15 @@ def evaluate_dir(out_dir: str) -> dict:
         g = np.asarray(Image.open(os.path.join(gdir, n)),
                        np.float32).transpose(2, 0, 1) / 255.0
         per_view[n] = {"psnr": psnr(r, g), "ssim": ssim(r, g)}
+        if lp is not None:
+            per_view[n]["lpips"] = lp(r, g)
     results = {
         "PSNR": float(np.mean([v["psnr"] for v in per_view.values()])),
         "SSIM": float(np.mean([v["ssim"] for v in per_view.values()])),
     }
+    if lp is not None:
+        results["LPIPS"] = float(np.mean([v["lpips"]
+                                          for v in per_view.values()]))
     with open(os.path.join(out_dir, "results.json"), "w") as f:
         json.dump(results, f, indent=2)
     with open(os.path.join(out_dir, "per_view.json"), "w") as f:

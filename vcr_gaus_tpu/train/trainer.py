@@ -674,15 +674,59 @@ class _TB:
             tf.summary.scalar(tag, value, step=step)
 
 
+class _Wandb:
+    """wandb scalar writer with run naming + wandb_id.txt resume, matching
+    the reference's init (trainer.py:98-136). Gated: constructed only when
+    the wandb package is importable and --wandb / VCR_WANDB=1 is set."""
+
+    def __init__(self, logdir: str):
+        import wandb
+        self._wandb = wandb
+        id_file = os.path.join(logdir, "wandb_id.txt")
+        if os.path.exists(id_file):
+            run_id = open(id_file).read().strip()
+            resume = "must"
+        else:
+            run_id = wandb.util.generate_id()
+            with open(id_file, "w") as f:
+                f.write(run_id)
+            resume = "allow"
+        parts = os.path.normpath(logdir).split(os.sep)
+        wandb.init(project=os.environ.get("WANDB_PROJECT", "vcr_gaus_tpu"),
+                   group=parts[-2] if len(parts) > 1 else None,
+                   name=parts[-1], id=run_id, resume=resume, dir=logdir)
+
+    def scalar(self, tag, value, step):
+        self._wandb.log({tag: value}, step=step)
+
+
 def _make_tb_writer(logdir: str):
-    if os.environ.get("VCR_TB", "0") != "1":
+    """Metric writer chain: wandb primary (reference trainer.py:98-136,
+    gated on the package + opt-in), TensorBoard secondary (trainer.py:35-39,
+    VCR_TB=1)."""
+    writers = []
+    if os.environ.get("VCR_WANDB", "0") == "1":
+        try:
+            writers.append(_Wandb(logdir))
+        except Exception as e:
+            print(f"[wandb] disabled: {e}", flush=True)
+    if os.environ.get("VCR_TB", "0") == "1":
+        try:
+            import tensorflow as tf
+            writers.append(_TB(tf.summary.create_file_writer(
+                os.path.join(logdir, "tb"))))
+        except Exception:
+            pass
+    if not writers:
         return None
-    try:
-        import tensorflow as tf
-        return _TB(tf.summary.create_file_writer(
-            os.path.join(logdir, "tb")))
-    except Exception:
-        return None
+    if len(writers) == 1:
+        return writers[0]
+
+    class _Multi:
+        def scalar(self, tag, value, step):
+            for w in writers:
+                w.scalar(tag, value, step)
+    return _Multi()
 
 
 def _auto_capacity(n_init: int) -> int:
