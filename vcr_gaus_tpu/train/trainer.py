@@ -255,6 +255,16 @@ class Trainer:
 
     def __init__(self, cfg):
         self.cfg = cfg
+        # reference debug hooks (SURVEY.md §5.2): torch anomaly detection ->
+        # jax NaN tracing; nsys-style profiling -> the jax.profiler server
+        # (point TensorBoard / xprof at it)
+        if getattr(cfg, "detect_anomaly", False):
+            jax.config.update("jax_debug_nans", True)
+        prof_port = int(os.environ.get("VCR_PROFILER_PORT", "0"))
+        if prof_port:
+            jax.profiler.start_server(prof_port)
+            print(f"[profiler] jax.profiler server on :{prof_port}",
+                  flush=True)
         w = {k: float(v) for k, v in cfg.optim.loss_weight.items()
              if float(v) > 0}
         self.weights = w
