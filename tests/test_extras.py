@@ -125,3 +125,24 @@ def test_network_gui_roundtrip():
     t.join(timeout=5)
     assert results["verify"] == "ok"
     assert results["img_bytes"] == 16 * 8 * 3
+
+
+def test_orbit_camera():
+    import numpy as np
+    from vcr_gaus_tpu.render.orbit import OrbitCamera
+    cam = OrbitCamera(640, 480, radius=3.0)
+    np.testing.assert_allclose(cam.campos, [0, 0, 3], atol=1e-6)
+    # view @ pose = identity
+    np.testing.assert_allclose(cam.view @ cam.pose, np.eye(4), atol=1e-6)
+    cam.orbit(100.0, 30.0)
+    R = cam.rot
+    np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-6)   # still SO(3)
+    assert abs(np.linalg.norm(cam.campos) - 3.0) < 1e-5         # on the orbit
+    cam.scale(2)
+    assert abs(np.linalg.norm(cam.campos) - 3.0 / 1.1 ** 2) < 1e-5
+    before = cam.center.copy()
+    cam.pan(10, -5)
+    assert np.linalg.norm(cam.center - before) > 0
+    assert cam.fovx > cam.fovy                                   # 4:3 aspect
+    assert cam.intrinsics[0] == cam.intrinsics[1] > 0
+    assert cam.mvp.shape == (4, 4)
