@@ -53,26 +53,38 @@ def _gaussian_1d_np(window_size: int, sigma: float):
     return (g / g.sum()).astype(np.float32)
 
 
+def _band_matrix_np(n: int, window_size: int, sigma: float):
+    """(n, n) symmetric banded blur matrix equal to a same-(zero-)padded
+    1-D gaussian conv along an axis of length n. Cached as numpy."""
+    import numpy as np
+    g = _gaussian_1d_np(window_size, sigma)
+    pad = window_size // 2
+    B = np.zeros((n, n), np.float32)
+    for k in range(-pad, pad + 1):
+        idx = np.arange(max(0, -k), min(n, n - k))
+        B[idx, idx + k] = g[k + pad]
+    return B
+
+
 def ssim(img1, img2, window_size: int = 11):
     """Mean SSIM with an 11x11 sigma-1.5 gaussian window and same-padding,
     per channel (tools/loss_utils.py:49-92). Images (C, H, W) in [0,1].
 
-    The gaussian window is separable: two K-tap 1-D convs replace the K^2
-    2-D conv (identical result, ~5x less work)."""
-    g1 = jnp.asarray(_gaussian_1d_np(window_size, 1.5))
-    wy = g1.reshape(1, 1, window_size, 1)
-    wx = g1.reshape(1, 1, 1, window_size)
-    pad = window_size // 2
+    The separable gaussian window is applied as two dot_general contractions
+    against banded (H,H)/(W,W) matrices: a 3-channel NCHW conv leaves the
+    MXU nearly idle on TPU (measured ~6ms fwd+bwd at 800x600), while the
+    banded matmuls — numerically identical — run at full MXU rate, and their
+    autodiff transposes are matmuls too."""
+    h, w = img1.shape[-2:]
+    By = jnp.asarray(_band_matrix_np(h, window_size, 1.5))
+    Bx = jnp.asarray(_band_matrix_np(w, window_size, 1.5))
 
     def blur(x):
-        # depthwise separable conv: treat channels as batch
-        y = jax.lax.conv_general_dilated(
-            x[:, None], wy, (1, 1), [(pad, pad), (0, 0)],
-            dimension_numbers=("NCHW", "OIHW", "NCHW"))
-        y = jax.lax.conv_general_dilated(
-            y, wx, (1, 1), [(0, 0), (pad, pad)],
-            dimension_numbers=("NCHW", "OIHW", "NCHW"))
-        return y[:, 0]
+        # (C,H,W) x (H,H) -> (C,W,H'); then (C,W,H') x (W,W) -> (C,H',W')
+        y = jax.lax.dot_general(x, By, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        return jax.lax.dot_general(y, Bx, (((1,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
 
     mu1, mu2 = blur(img1), blur(img2)
     mu1_sq, mu2_sq, mu1_mu2 = mu1 * mu1, mu2 * mu2, mu1 * mu2
