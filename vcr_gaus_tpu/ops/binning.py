@@ -70,8 +70,11 @@ def tile_grid(width: int, height: int, tile: int) -> tuple[int, int]:
 
 
 def aligned_budget(entry_budget: int, num_tiles: int, align: int) -> int:
-    """Static size of the aligned entry array."""
-    return cdiv(entry_budget, align) * align + num_tiles * align
+    """Static size of the aligned entry array. One extra align block of
+    sentinel slack lets a raster kernel whose DMA chunk is LARGER than the
+    region alignment (G up to 2*align) overrun the final tile's region
+    without reading past the array."""
+    return cdiv(entry_budget, align) * align + (num_tiles + 1) * align
 
 
 def depth_key_bits(num_tiles: int) -> int:

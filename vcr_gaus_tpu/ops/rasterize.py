@@ -49,7 +49,7 @@ def _make_entry_builder(width: int, height: int, entry_budget: int):
     def _run(payload, mean2d, radius, depth_z):
         return B.bin_and_gather(mean2d, radius, depth_z, payload,
                                 width, height, TILE, entry_budget,
-                                align=K.G)
+                                align=K.ALIGN)
 
     @jax.custom_vjp
     def build(payload, mean2d, radius, depth_z):
@@ -165,7 +165,7 @@ def rasterize_entry_stats(feats, mean2d, radius, depth_z, cam, width, height,
                if pad_c else feats)
     binn, entries_al = B.bin_and_gather(
         mean2d, radius, depth_z, payload, width, height, TILE, entry_budget,
-        align=K.G)
+        align=K.ALIGN)
 
     stats = K.rasterize_stats(entries_al.T, binn.tile_starts,
                               binn.tile_counts, cam, n_tx, n_ty, width,

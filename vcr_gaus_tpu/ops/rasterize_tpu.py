@@ -40,7 +40,8 @@ from . import projection as PF
 
 TILE = 16
 P = TILE * TILE          # pixels per tile
-G = 128                  # entries per chunk
+G = 256                  # entries per chunk
+ALIGN = 128              # tile-region alignment (binning layout)
 ALPHA_EPS = 1.0 / 255.0
 ALPHA_CAP = 0.99
 
@@ -169,7 +170,7 @@ def _transmittance(alpha, ut):
 def _fwd_kernel(starts_ref, counts_ref, cam_ref, feats_ref, out_ref, buf, sems,
                 *, ch_sem: int, depth_mode: str, n_tx: int):
     t = pl.program_id(0)
-    start = pl.multiple_of(starts_ref[t], G)   # aligned tile region start
+    start = pl.multiple_of(starts_ref[t], ALIGN)   # aligned tile region start
     n = counts_ref[t]
     nchunks = (n + G - 1) // G
 
@@ -277,7 +278,7 @@ def _bwd_kernel(starts_ref, counts_ref, cam_ref, feats_ref, gout_ref,
                 out_ref_fwd, gfeat_ref, buf, gbuf, sems, wsem,
                 *, ch_sem: int, depth_mode: str, n_tx: int):
     t = pl.program_id(0)
-    start = pl.multiple_of(starts_ref[t], G)   # aligned tile region start
+    start = pl.multiple_of(starts_ref[t], ALIGN)   # aligned tile region start
     n = counts_ref[t]
     nchunks = (n + G - 1) // G
 
@@ -485,7 +486,7 @@ def rasterize_backward(feats_t, tile_starts, tile_counts, cam, gout_tiles,
 def _stats_kernel(starts_ref, counts_ref, cam_ref, feats_ref, stats_ref, buf, gbuf, sems,
                   wsem, *, n_tx: int, width: int, height: int):
     t = pl.program_id(0)
-    start = pl.multiple_of(starts_ref[t], G)   # aligned tile region start
+    start = pl.multiple_of(starts_ref[t], ALIGN)   # aligned tile region start
     n = counts_ref[t]
     nchunks = (n + G - 1) // G
     px, py = _pixel_coords(t, n_tx)
