@@ -178,3 +178,18 @@ def test_convert_dtu_cli(tmp_path):
     assert np.asarray(meta["trans"]).shape == (4, 4)
     assert meta["test"] == ["000008"]
     assert meta["train"] == ["000000", "000020"]
+
+
+def test_visualize_cameras_cli(tmp_path):
+    sys.path.insert(0, os.path.join(REPO, "tests"))
+    from fixtures import write_colmap_scene
+    root = str(tmp_path / "scene")
+    write_colmap_scene(root, n_cams=4, n_pts=100, width=32, height=24)
+    env = dict(os.environ, JAX_PLATFORMS="cpu", MPLBACKEND="Agg",
+               PYTHONPATH=REPO + os.pathsep + os.environ.get("PYTHONPATH", ""))
+    r = subprocess.run([sys.executable,
+                        os.path.join(REPO, "scripts", "visualize_cameras.py"),
+                        "--source", root], env=env, capture_output=True,
+                       text=True)
+    assert r.returncode == 0, r.stderr
+    assert os.path.exists(os.path.join(root, "poses.png"))
