@@ -1,0 +1,73 @@
+"""The three top-level CLIs chained end-to-end via subprocess, sharing only
+the filesystem — the reference's pipeline contract (run_base.py check_finish
+gates between train -> mesh -> eval stages)."""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.join(REPO, "tests"))
+
+from fixtures import write_colmap_scene
+
+
+@pytest.fixture(scope="module")
+def pipeline_dirs(tmp_path_factory):
+    scene = str(tmp_path_factory.mktemp("cli_scene"))
+    logdir = str(tmp_path_factory.mktemp("cli_logs"))
+    write_colmap_scene(scene, n_cams=6, n_pts=300, width=64, height=48,
+                       with_priors=True)
+    return scene, logdir
+
+
+def run_cli(script, *args):
+    env = dict(os.environ, JAX_PLATFORMS="cpu",
+               XLA_FLAGS="--xla_force_host_platform_device_count=1",
+               PYTHONPATH=REPO + os.pathsep + os.environ.get("PYTHONPATH", ""))
+    r = subprocess.run([sys.executable, os.path.join(REPO, script), *args],
+                       env=env, capture_output=True, text=True)
+    assert r.returncode == 0, f"{script} failed:\n{r.stdout}\n{r.stderr}"
+    return r.stdout
+
+
+def test_cli_pipeline(pipeline_dirs):
+    scene, logdir = pipeline_dirs
+
+    # stage 1: train (tiny schedule via dotted overrides)
+    run_cli("train.py", "--config=configs/config_base.yaml",
+            f"--model.source_path={scene}", f"--logdir={logdir}",
+            "--model.depth_type=traditional",
+            "--optim.iterations=60", "--optim.densify_from_iter=1000",
+            "--tpu.capacity=1024",
+            "--train.save_iterations=[60]",
+            "--train.checkpoint_iterations=[60]",
+            "--train.test_iterations=[]")
+    ply = os.path.join(logdir, "point_cloud", "iteration_60",
+                       "point_cloud.ply")
+    assert os.path.exists(ply), "check_finish: PLY missing"
+    assert os.path.exists(os.path.join(logdir, "config.yaml"))
+    assert os.path.exists(os.path.join(logdir, "cameras.json"))
+
+    # stage 2: mesh extraction from the saved run
+    run_cli("depth2mesh.py", f"--cfg_path={logdir}/config.yaml",
+            "--voxel_size=0.08", "--max_depth=8")
+    mesh = os.path.join(logdir, "ours.ply")
+    assert os.path.exists(mesh), "check_finish: mesh missing"
+    from vcr_gaus_tpu.utils.ply import read_ply
+    d = read_ply(mesh)
+    assert len(d["x"]) > 50
+
+    # stage 3: NVS render + metrics (no test split in the tiny scene ->
+    # evaluate the train renders, the 360 pipeline protocol)
+    run_cli("render_eval.py", f"--cfg_path={logdir}/config.yaml")
+    results = None
+    for root, _, files in os.walk(logdir):
+        if "results.json" in files:
+            results = json.load(open(os.path.join(root, "results.json")))
+    assert results is not None and "PSNR" in results
+    assert results["PSNR"] > 10, results
