@@ -81,9 +81,15 @@ def main():
     bg = jnp.zeros(3)
     lr = jnp.asarray(1.6e-4)
 
+    # binning lookahead (the Trainer's steady-state loop): each step consumes
+    # the previous step's binning and produces the next camera's
+    bin_aux = None
     for i in range(WARMUP):
         state, net, losses, aux = step(state, net, cams[i % 8], bg, lr,
-                                       sh_degree=3, gates=gates)
+                                       sh_degree=3, gates=gates,
+                                       bin_aux=bin_aux,
+                                       next_cam=cams[(i + 1) % 8])
+        bin_aux = aux.pop("next_bin_aux")
     # NB block_until_ready does not synchronize on tunneled backends; a
     # scalar device->host fetch is the only reliable fence.
     _ = float(losses["total"])
@@ -92,7 +98,10 @@ def main():
     t0 = time.time()
     for i in range(ITERS):
         state, net, losses, aux = step(state, net, cams[i % 8], bg, lr,
-                                       sh_degree=3, gates=gates)
+                                       sh_degree=3, gates=gates,
+                                       bin_aux=bin_aux,
+                                       next_cam=cams[(i + 1) % 8])
+        bin_aux = aux.pop("next_bin_aux")
     _ = float(losses["total"])
     dt = (time.time() - t0) / ITERS
     its = 1.0 / dt

@@ -140,3 +140,35 @@ def test_bilinear_resize_matches_torch():
     ours = np.asarray(bilinear_resize(jnp.asarray(x.transpose(1, 2, 0)),
                                       14, 18)).transpose(2, 0, 1)
     np.testing.assert_allclose(ours, t, atol=1e-5)
+
+
+def test_render_with_precomputed_binning_matches():
+    """The binning-lookahead path (bin_aux from compute_camera_binning) must
+    reproduce the in-program-binning render and its gradients exactly."""
+    from vcr_gaus_tpu.render.renderer import compute_camera_binning
+
+    state, cam = make_scene(n=150, seed=3)
+    arrs = cam.arrays()
+    rcfg = RenderConfig(width=W, height=H, depth_mode="intersection",
+                        entry_budget=1 << 13)
+    bg = jnp.zeros(3)
+    aux = compute_camera_binning(state, arrs, rcfg)
+
+    out_a = render(state, arrs, rcfg, bg, sh_degree=2)
+    out_b = render(state, arrs, rcfg, bg, sh_degree=2, bin_aux=aux)
+    for k in ("render", "depth", "normal", "alpha"):
+        np.testing.assert_array_equal(np.asarray(out_a[k]),
+                                      np.asarray(out_b[k]), err_msg=k)
+
+    def loss(params, use_aux):
+        st = state._replace(params=params)
+        out = render(st, arrs, rcfg, bg, sh_degree=2,
+                     bin_aux=aux if use_aux else None)
+        return (out["render"].sum() + out["depth"].sum()
+                + out["normal"].sum())
+
+    g_a = jax.grad(lambda p: loss(p, False))(state.params)
+    g_b = jax.grad(lambda p: loss(p, True))(state.params)
+    for name, a, b in zip(g_a._fields, g_a, g_b):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6,
+                                   rtol=1e-5, err_msg=name)

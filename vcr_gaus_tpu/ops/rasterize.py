@@ -23,6 +23,7 @@ boundaries keep every backward op cheap on TPU:
 from __future__ import annotations
 
 import functools
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -32,6 +33,60 @@ from . import projection as PF
 from . import rasterize_tpu as K
 
 TILE = K.TILE
+
+
+class BinAux(NamedTuple):
+    """Precomputed binning + the gid-grouping permutation for the backward
+    segment-sum. Producing this in the PREVIOUS training step's program
+    ('binning lookahead') makes every sort->gather pair cross an XLA program
+    boundary: a gather whose indices are computed by a sort in the SAME
+    program runs ~4.5x slower on this TPU backend (measured 7.3ms vs 1.6ms
+    @ 770k x 16) and no in-program barrier/laundering fixes it."""
+    binn: B.Binning
+    perm: jnp.ndarray          # (E_al,) int32
+
+
+def compute_bin_aux(mean2d, radius, depth_z, width, height,
+                    entry_budget) -> BinAux:
+    """Binning + backward permutation for one camera (geometry only, no
+    payload — everything downstream of stop_gradient)."""
+    binn = B.bin_gaussians(mean2d, radius, depth_z, width, height, TILE,
+                           entry_budget, align=K.ALIGN)
+    e_al = binn.sorted_gid.shape[0]
+    iota = jnp.arange(e_al, dtype=jnp.int32)
+    _, perm = jax.lax.sort((binn.sorted_gid, iota), num_keys=1)
+    return BinAux(binn=binn, perm=perm)
+
+
+@functools.lru_cache(maxsize=None)
+def _make_entry_builder_pre(entry_budget: int):
+    """Entry builder over a precomputed BinAux: forward is one row gather by
+    the (input) sorted gid; backward is the same segment-sum as
+    _make_entry_builder but with the grouping permutation taken as an input
+    instead of sorted in-program."""
+
+    @jax.custom_vjp
+    def build(payload, sorted_gid, perm, offs, cnts, total):
+        payload_z = jnp.concatenate(
+            [payload, jnp.zeros((1, payload.shape[1]), payload.dtype)], 0)
+        return payload_z[sorted_gid]
+
+    def build_fwd(payload, sorted_gid, perm, offs, cnts, total):
+        return (build(payload, sorted_gid, perm, offs, cnts, total),
+                (perm, offs, cnts, total))
+
+    def build_bwd(res, g_entries):
+        perm, offs, cnts, total = res
+        c = g_entries.shape[1]
+        csum = jnp.cumsum(g_entries[perm], axis=0)
+        csum = jnp.concatenate([jnp.zeros((1, c), csum.dtype), csum], 0)
+        kept = jnp.minimum(total, entry_budget)
+        lo = jnp.minimum(offs, kept)
+        hi = jnp.minimum(offs + cnts, kept)
+        return (csum[hi] - csum[lo], None, None, None, None, None)
+
+    build.defvjp(build_fwd, build_bwd)
+    return build
 
 
 @functools.lru_cache(maxsize=None)
@@ -122,9 +177,14 @@ def rasterize_image(
     ch_sem: int,
     depth_mode: str,
     entry_budget: int,
+    bin_aux: BinAux | None = None,
 ):
     """Bin + composite. Returns (img (C_out,H,W), Binning) with C_out = 9+S:
-    rgb(3,bg-blended), normal(3), sum w*d, sum w*d^2, alpha, sem(S)."""
+    rgb(3,bg-blended), normal(3), sum w*d, sum w*d^2, alpha, sem(S).
+
+    With `bin_aux` (a BinAux computed for the SAME parameters and camera —
+    typically by the previous step's program, see BinAux), the in-program
+    binning is skipped and the gathers use input indices (fast path)."""
     n, F = feats.shape
     assert F == PF.feature_dim(ch_sem)
     n_tx, n_ty = B.tile_grid(width, height, TILE)
@@ -138,8 +198,15 @@ def rasterize_image(
     if pad_c:
         cols.append(jnp.zeros((n, pad_c), feats.dtype))
     payload = jnp.concatenate(cols, axis=1)                # (N, F_PAD)
-    build = _make_entry_builder(width, height, entry_budget)
-    entries_al, binn = build(payload, mean2d, radius, depth_z)
+    if bin_aux is not None:
+        binn = bin_aux.binn
+        build_pre = _make_entry_builder_pre(entry_budget)
+        entries_al = build_pre(payload, binn.sorted_gid, bin_aux.perm,
+                               binn.gauss_offsets, binn.gauss_counts,
+                               binn.num_entries)
+    else:
+        build = _make_entry_builder(width, height, entry_budget)
+        entries_al, binn = build(payload, mean2d, radius, depth_z)
     feats_t = entries_al.T                                 # (F_PAD, E_al)
 
     core = _make_core(ch_sem, depth_mode, n_tx, n_ty)

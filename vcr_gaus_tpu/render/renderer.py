@@ -55,6 +55,9 @@ def render(
     densify_dummy: jnp.ndarray | None = None,  # (C,2) zeros; pass it in and
                                                # differentiate w.r.t. it to
                                                # collect |d mean2d| stats
+    bin_aux: R.BinAux | None = None,           # precomputed binning for THIS
+                                               # (state, cam) — see
+                                               # compute_camera_binning
 ) -> dict[str, Any]:
     """Returns the reference's output dict (gaussian_renderer/__init__.py:139-147):
     render (3,H,W), depth (H,W), normal (H,W,3), est_normal (H,W,3),
@@ -106,7 +109,7 @@ def render(
     img, binn = R.rasterize_image(feats, dummy, proj.mean2d, radius,
                                   proj.depth_z, cam_vec, cfg.width,
                                   cfg.height, cfg.ch_sem, cfg.depth_mode,
-                                  cfg.entry_budget)
+                                  cfg.entry_budget, bin_aux=bin_aux)
 
     rendered = img[0:3]
     nrm = img[3:6]
@@ -149,6 +152,24 @@ def render(
     out["depth_var"] = L.depth_var_from_moments(alpha, wd_sum, wd2_sum)
     out["distortion"] = L.distortion_from_moments(alpha, wd_sum, wd2_sum)
     return out
+
+
+def compute_camera_binning(state: GaussianState, cam: CameraArrays,
+                           cfg: RenderConfig) -> R.BinAux:
+    """Binning lookahead: the tile binning (and the backward's grouping
+    permutation) for (state, cam). Depends only on geometry (xyz, scales,
+    quats, active) — opacity resets and SH warmup do NOT invalidate it; any
+    densify/prune/capacity/budget change does. Computing it at the END of
+    the previous step's program keeps every sort->gather pair across an XLA
+    dispatch boundary (see ops/rasterize.BinAux)."""
+    p = state.params
+    proj = PF.project_gaussians(
+        p.xyz, state.scaling, p.quat, cam.viewmatrix, cam.projmatrix,
+        cam.tanfov[0], cam.tanfov[1], cfg.width, cfg.height,
+        cfg.scale_modifier)
+    radius = jnp.where(state.active, proj.radius, 0)
+    return R.compute_bin_aux(proj.mean2d, radius, proj.depth_z, cfg.width,
+                             cfg.height, cfg.entry_budget)
 
 
 def render_stats(state: GaussianState, cam: CameraArrays, cfg: RenderConfig,

@@ -125,7 +125,7 @@ def _make_step_impl(cfg, rcfg: RenderConfig, weights: dict,
 
     def step_impl(state: GM.GaussianState, net: NetState, cam: CameraArrays,
                   bg, lr_xyz, *, sh_degree: int, gates: Gates,
-                  axis: str | None = None):
+                  axis: str | None = None, bin_aux=None, next_cam=None):
         inside_mask, _ = M.get_inside_normalized(state.params.xyz,
                                                  jnp.asarray(trans),
                                                  jnp.asarray(scale))
@@ -138,7 +138,7 @@ def _make_step_impl(cfg, rcfg: RenderConfig, weights: dict,
                 classifier = lambda f: clf.apply(cls_params, f)
             out = render(st, cam, rcfg, bg, sh_degree,
                          scene_extent=scene_extent, classifier=classifier,
-                         densify_dummy=dummy)
+                         densify_dummy=dummy, bin_aux=bin_aux)
             net2 = net._replace(app_embeddings=app_emb,
                                 app_params=app_params)
             total, losses = compute_losses(out, cam, st, weights, gates,
@@ -196,6 +196,13 @@ def _make_step_impl(cfg, rcfg: RenderConfig, weights: dict,
         aux = {"overflow": overflow > 0,
                "num_entries": out["num_entries"],
                "n_active": new_state.num_active}
+        if next_cam is not None:
+            # binning lookahead for the NEXT camera against the post-update
+            # parameters: its sort->gather consumers then sit in the next
+            # dispatch (see ops/rasterize.BinAux)
+            from ..render.renderer import compute_camera_binning
+            aux["next_bin_aux"] = compute_camera_binning(new_state, next_cam,
+                                                         rcfg)
         return new_state, new_net, losses, aux
 
     return step_impl
@@ -209,9 +216,10 @@ def make_train_step(cfg, rcfg: RenderConfig, weights: dict,
                            num_cls, app_tx, cls_tx)
 
     @functools.partial(jax.jit, static_argnames=("sh_degree", "gates"))
-    def train_step(state, net, cam, bg, lr_xyz, sh_degree: int, gates: Gates):
+    def train_step(state, net, cam, bg, lr_xyz, sh_degree: int, gates: Gates,
+                   bin_aux=None, next_cam=None):
         return impl(state, net, cam, bg, lr_xyz, sh_degree=sh_degree,
-                    gates=gates)
+                    gates=gates, bin_aux=bin_aux, next_cam=next_cam)
 
     return train_step
 
@@ -366,6 +374,7 @@ class Trainer:
 
         self.test_history: list[dict] = []
         self._prefetched = None
+        self._bin_aux = None
         self._tb = _make_tb_writer(cfg.logdir)
         start_ckpt = getattr(cfg.train, "start_checkpoint", None)
         if start_ckpt:
@@ -421,16 +430,25 @@ class Trainer:
             cams = [self._cam_arrays[self._next_camera_index()]
                     for _ in range(self.camera_batch)]
             cam = dp.shard_camera_batch(dp.stack_cameras(cams), self.mesh)
+            next_cam = None
         else:
             cam = self._pick_camera()
+            next_cam = self._prefetched      # the lookahead target
         bg = (np.random.default_rng(self.iteration).random(3).astype(
             np.float32) if self.cfg.optim.random_background else self.bg)
         self.state, self.net, losses, aux = self._step_fn(
             self.state, self.net, cam, jnp.asarray(bg), self._lr_xyz(),
-            sh_degree=self._sh_degree(), gates=self._gates())
+            sh_degree=self._sh_degree(), gates=self._gates(),
+            **({"bin_aux": self._bin_aux, "next_cam": next_cam}
+               if self.mesh is None else {}))
+        # binning lookahead for the next step; invalidated below by any
+        # host-side geometry/shape mutation (densify, prune, capacity or
+        # entry-budget growth) — opacity resets and SH warmup keep it valid
+        self._bin_aux = aux.pop("next_bin_aux", None)
 
         if bool(aux["overflow"]):
             self._grow_entry_budget()
+            self._bin_aux = None
 
         o = self.cfg.optim
         it = self.iteration
@@ -440,6 +458,7 @@ class Trainer:
                 box_mask = self._box_densify_mask()
                 self.state, dropped = self._densify_fn(
                     self.state, box_mask=box_mask, max_screen_size=size_thr)
+                self._bin_aux = None
                 if int(dropped) > 0:
                     self._grow_capacity(int(dropped))
             if it % o.opacity_reset_interval == 0 or (
@@ -449,6 +468,7 @@ class Trainer:
         if it in list(o.prune.iterations):
             self.light_gaussian_prune(
                 list(o.prune.iterations).index(it))
+            self._bin_aux = None
         return losses, aux
 
     def train(self, max_iters: int | None = None, log_every: int = 50):
@@ -513,6 +533,7 @@ class Trainer:
         """Resume from a full checkpoint (the reference's
         --train.start_checkpoint, trainer.py:169-172)."""
         self.state, self.iteration, extra = ply_io.load_checkpoint(path)
+        self._bin_aux = None
         if extra.get("net") and any(v is not None
                                     for v in extra["net"].values()):
             self.net = NetState(**extra["net"])
