@@ -113,13 +113,31 @@ def path_to_cameras(path_c2w: np.ndarray, inv_transform: np.ndarray,
     return cams
 
 
-def write_video(path: str, frames: list[np.ndarray], fps: int = 30) -> None:
-    """(H,W,3) uint8 frames -> mp4 (tools/render_utils.py:183-247)."""
+def write_video(path: str, frames: list[np.ndarray], fps: int = 30) -> str:
+    """(H,W,3) uint8 frames -> mp4 (tools/render_utils.py:183-247). Falls
+    back to an animated GIF when no ffmpeg backend is installed (the image
+    ships imageio without imageio-ffmpeg), then to a PNG frame directory.
+    Returns the path actually written."""
     import imageio
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    with imageio.get_writer(path, fps=fps) as w:
-        for f in frames:
-            w.append_data(f)
+    try:
+        with imageio.get_writer(path, fps=fps) as w:
+            for f in frames:
+                w.append_data(f)
+        return path
+    except Exception:
+        pass
+    gif = os.path.splitext(path)[0] + ".gif"
+    try:
+        imageio.mimsave(gif, frames, duration=1.0 / fps, loop=0)
+        return gif
+    except Exception:
+        from PIL import Image
+        frame_dir = os.path.splitext(path)[0] + "_frames"
+        os.makedirs(frame_dir, exist_ok=True)
+        for i, f in enumerate(frames):
+            Image.fromarray(f).save(os.path.join(frame_dir, f"{i:05d}.png"))
+        return frame_dir
 
 
 def render_flythrough(state, cameras: list[Camera], rcfg, out_path: str,
@@ -139,5 +157,4 @@ def render_flythrough(state, cameras: list[Camera], rcfg, out_path: str,
                      scene_extent=scene_extent)
         frames.append((np.clip(np.asarray(out["render"]), 0, 1)
                        .transpose(1, 2, 0) * 255).astype(np.uint8))
-    write_video(out_path, frames, fps)
-    return out_path
+    return write_video(out_path, frames, fps)
