@@ -246,3 +246,66 @@ def test_entry_builder_grad_matches_scatter_even_truncated():
         if budget == 128:
             assert bool(binn.overflow)
         np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
+
+
+def test_early_termination_matches_oracle():
+    """A saturated multi-chunk tile: fwd must early-terminate (hidden chunk
+    count < nchunks) yet match the full-composite oracle within the CUDA
+    fork's T<1e-4 termination error; grads of skipped entries are ~0."""
+    n = 700
+    rng = np.random.default_rng(7)
+    ch_sem = 0
+    # all gaussians piled on one tile with near-cap opacity
+    feats = np.zeros((n, PF.feature_dim(ch_sem)), np.float32)
+    feats[:, PF.F_MEAN_X] = rng.uniform(2, 14, n)
+    feats[:, PF.F_MEAN_Y] = rng.uniform(2, 14, n)
+    feats[:, PF.F_CONIC_A] = 0.02        # huge, flat splats cover the tile
+    feats[:, PF.F_CONIC_C] = 0.02
+    feats[:, PF.F_OPACITY] = 0.95
+    depth = np.sort(rng.uniform(1.0, 9.0, n)).astype(np.float32)
+    feats[:, PF.F_DEPTH_Z] = depth
+    feats[:, PF.F_RGB:PF.F_RGB + 3] = rng.uniform(0, 1, (n, 3))
+    nrm = np.tile(np.array([0, 0, -1.0], np.float32), (n, 1))
+    feats[:, PF.F_NORMAL:PF.F_NORMAL + 3] = nrm
+    feats[:, PF.F_PLANE_D] = -depth
+    feats = jnp.asarray(feats)
+    radius = jnp.full((n,), 30, jnp.int32)
+    cam = np.array([50.0, 50.0, W / 2, H / 2, 0.1, 0.5, 0.9, 0.0],
+                   np.float32)
+
+    depth_z = feats[:, PF.F_DEPTH_Z]
+    mean2d = feats[:, [PF.F_MEAN_X, PF.F_MEAN_Y]]
+    out, binn = R.rasterize_image(feats, jnp.zeros((n, 2)), mean2d, radius,
+                                  depth_z, jnp.asarray(cam), W, H, ch_sem,
+                                  "traditional", entry_budget=8192)
+    assert not bool(binn.overflow)
+    # at opacity .95 transmittance hits 1e-4 after ~4 entries: the dense
+    # tiles must NOT composite all their chunks
+    from vcr_gaus_tpu.ops import rasterize_tpu as K
+    assert int(jnp.max(binn.tile_counts)) > K.G   # multi-chunk tile exists
+
+    order = REF.depth_order(depth_z, radius)
+    ref = REF.composite_reference(feats, order, H, W, jnp.asarray(cam[4:7]),
+                                  ch_sem, depth_mode="traditional",
+                                  cam_k=jnp.asarray(cam[:4]))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4,
+                               rtol=1e-3)
+
+    g_img = jnp.asarray(rng.normal(size=(9, H, W)).astype(np.float32))
+
+    def loss_pallas(f):
+        o, _ = R.rasterize_image(f, jnp.zeros((n, 2)), mean2d, radius,
+                                 depth_z, jnp.asarray(cam), W, H, ch_sem,
+                                 "traditional", entry_budget=8192)
+        return jnp.sum(o * g_img)
+
+    def loss_ref(f):
+        o = REF.composite_reference(f, order, H, W, jnp.asarray(cam[4:7]),
+                                    ch_sem, depth_mode="traditional",
+                                    cam_k=jnp.asarray(cam[:4]))
+        return jnp.sum(o * g_img)
+
+    g_pallas = np.asarray(jax.grad(loss_pallas)(feats))
+    g_ref = np.asarray(jax.grad(loss_ref)(feats))
+    scale = np.abs(g_ref).max()
+    np.testing.assert_allclose(g_pallas, g_ref, atol=2e-3 * scale, rtol=5e-2)

@@ -3,22 +3,29 @@
 TPU-first re-design of the reference's CUDA rasterizer core
 (diff-gaussian-rasterization fork, see SURVEY.md §2.3#1). Per 16x16 pixel
 tile, the depth-sorted entry list (from ops/binning.py) is streamed from HBM
-in double-buffered chunks of G=128 Gaussians; compositing is expressed as
+in double-buffered chunks of G=256 Gaussians; compositing is expressed as
 
   * alpha evaluation:              (P, G) VPU elementwise,
   * in-chunk exclusive cumprod:    log-space cumsum as a (P,G)x(G,G)
                                    upper-triangular matmul on the MXU,
   * feature accumulation:          a (P,G)x(G,C) matmul on the MXU,
 
-with a (P,1) transmittance carry across chunks. The backward kernel re-walks
-the list front-to-back twice (pass 1: total weighted residual + final
-transmittance; pass 2: per-entry gradients via prefix sums), emitting
-per-entry gradients in the same packed feature layout, which the host wrapper
-segment-sums back to per-Gaussian gradients.
+with a (P,1) transmittance carry across chunks. The backward kernel walks
+the list ONCE in reverse, reconstructing per-entry transmittance in log
+space from the forward's saved log-T total, emitting per-entry gradients in
+the same packed feature layout, which the host wrapper segment-sums back to
+per-Gaussian gradients.
+
+Early termination (CUDA-fork parity, upstream forward.cu): once every pixel
+of a tile has transmittance < T_EPS, the remaining chunks' compute is
+skipped via lax.cond (the DMA pipeline runs on — at 16 KB/chunk it is never
+the bottleneck). The forward records the number of composited chunks in a
+hidden output channel; the backward only processes those and writes zero
+gradients for the rest.
 
 Deviations from the CUDA fork (documented, metric-neutral):
-  * no in-tile early termination at T<1e-4 — the full product is composited
-    (the identity sum w == 1 - prod(1-alpha) then holds exactly);
+  * termination is at chunk granularity on the tile-max transmittance
+    (conservative: never terminates earlier than the per-pixel CUDA rule);
   * distortion is the order-independent pairwise-squared form computed
     outside the kernel from the (sum w, sum w d, sum w d^2) channels.
 
@@ -44,6 +51,11 @@ G = 256                  # entries per chunk
 ALIGN = 128              # tile-region alignment (binning layout)
 ALPHA_EPS = 1.0 / 255.0
 ALPHA_CAP = 0.99
+# chunk-level early termination: once EVERY pixel of the tile has
+# transmittance below this, remaining chunks are skipped (compute only; the
+# DMA pipeline runs on). The CUDA fork terminates per-pixel at T < 1e-4
+# (upstream forward.cu); chunk-max is the conservative TPU-vector analog.
+T_EPS = 1e-4
 
 # extra gradient rows appended after the packed feature rows
 GROW_ABS_X = 0           # |d mean2d.x| accumulation (densification stats)
@@ -66,9 +78,10 @@ def out_channels(ch_sem: int) -> int:
 
 
 def out_pad(ch_sem: int) -> int:
-    # +1 hidden channel: per-pixel log total transmittance (consumed by the
+    # +2 hidden channels: per-pixel log total transmittance and the number
+    # of chunks composited before early termination (both consumed by the
     # single-pass backward kernel, never exposed in the image)
-    return _round8(out_channels(ch_sem) + 1)
+    return _round8(out_channels(ch_sem) + 2)
 
 
 def _interpret() -> bool:
@@ -167,8 +180,9 @@ def _transmittance(alpha, ut):
 # forward kernel
 # ---------------------------------------------------------------------------
 
-def _fwd_kernel(starts_ref, counts_ref, cam_ref, feats_ref, out_ref, buf, sems,
-                *, ch_sem: int, depth_mode: str, n_tx: int):
+def _fwd_kernel(starts_ref, counts_ref, cam_ref, feats_ref, out_ref, buf,
+                acc_ref, kref, sems, *, ch_sem: int, depth_mode: str,
+                n_tx: int):
     t = pl.program_id(0)
     start = pl.multiple_of(starts_ref[t], ALIGN)   # aligned tile region start
     n = counts_ref[t]
@@ -189,10 +203,15 @@ def _fwd_kernel(starts_ref, counts_ref, cam_ref, feats_ref, out_ref, buf, sems,
     def _():
         get_dma(0, 0).start()
 
-    feat_rows_acc = (PF.F_NORMAL, PF.F_NORMAL + 3)   # normals rows 8..10
+    # accumulators live in VMEM scratch so the early-termination guard is a
+    # pure pl.when (a lax.cond carry would copy every accumulator per chunk)
+    # columns: [t_carry, logt, acc_d, acc_d2, acc(c_acc)]
+    acc_ref[:] = jnp.concatenate(
+        [jnp.ones((P, 1), jnp.float32),
+         jnp.zeros((P, 3 + c_acc), jnp.float32)], axis=1)
+    kref[0] = 0
 
-    def body(k, carry):
-        t_carry, logt, acc, acc_d, acc_d2 = carry
+    def body(k, _):
         slot = k % 2
 
         @pl.when(k + 1 < nchunks)
@@ -200,42 +219,52 @@ def _fwd_kernel(starts_ref, counts_ref, cam_ref, feats_ref, out_ref, buf, sems,
             get_dma((k + 1) % 2, k + 1).start()
 
         get_dma(slot, k).wait()
-        f = buf[slot]                                  # (F_PAD, G)
+        t_carry = acc_ref[:, 0:1]
 
-        alpha, ex = _alpha_chunk(f, px, py, n - k * G)
-        trans_excl, chunk_total, chunk_log = _transmittance(alpha, ut)
-        w = alpha * trans_excl * t_carry               # (P,G)
+        @pl.when(jnp.max(t_carry) >= T_EPS)
+        def _():
+            f = buf[slot]                              # (F_PAD, G)
+            alpha, ex = _alpha_chunk(f, px, py, n - k * G)
+            trans_excl, chunk_total, chunk_log = _transmittance(alpha, ut)
+            w = alpha * trans_excl * t_carry           # (P,G)
 
-        # features to composite: rows [normal(3), rgb(3), sem(S)]
-        fsub = f[PF.F_NORMAL:PF.F_NORMAL + c_acc, :]   # (c_acc, G) rows 8..
-        acc = acc + jax.lax.dot_general(
-            w, fsub, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)        # (P, c_acc)
+            # features to composite: rows [normal(3), rgb(3), sem(S)]
+            fsub = f[PF.F_NORMAL:PF.F_NORMAL + c_acc, :]  # (c_acc, G)
+            dacc = jax.lax.dot_general(
+                w, fsub, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)    # (P, c_acc)
 
-        d, _ = _depth_chunk(f, px, py, cam, depth_mode)
-        wd = w * d
-        acc_d = acc_d + jnp.sum(wd, axis=1, keepdims=True)
-        acc_d2 = acc_d2 + jnp.sum(wd * d, axis=1, keepdims=True)
+            d, _ = _depth_chunk(f, px, py, cam, depth_mode)
+            wd = w * d
+            prev = acc_ref[:]
+            acc_ref[:] = jnp.concatenate(
+                [t_carry * chunk_total,
+                 prev[:, 1:2] + chunk_log,
+                 prev[:, 2:3] + jnp.sum(wd, axis=1, keepdims=True),
+                 prev[:, 3:4] + jnp.sum(wd * d, axis=1, keepdims=True),
+                 prev[:, 4:] + dacc], axis=1)
+            kref[0] = kref[0] + 1
 
-        return (t_carry * chunk_total, logt + chunk_log, acc, acc_d, acc_d2)
+        return 0
 
-    init = (jnp.ones((P, 1), jnp.float32),
-            jnp.zeros((P, 1), jnp.float32),
-            jnp.zeros((P, 6 + ch_sem), jnp.float32),
-            jnp.zeros((P, 1), jnp.float32),
-            jnp.zeros((P, 1), jnp.float32))
-    t_final, logt, acc, acc_d, acc_d2 = jax.lax.fori_loop(0, nchunks, body,
-                                                          init)
+    jax.lax.fori_loop(0, nchunks, body, 0)
+
+    row = acc_ref[:]
+    t_final, logt = row[:, 0:1], row[:, 1:2]
+    acc_d, acc_d2, acc = row[:, 2:3], row[:, 3:4], row[:, 4:]
+    k_done = kref[0]
 
     # acc columns: [nx,ny,nz, r,g,b, sem...]  (feature-row order 8..)
     bg = jnp.stack([cam[4], cam[5], cam[6]])[None, :]  # (1,3)
     rgb = acc[:, 3:6] + t_final * bg
-    # hidden channel right after the public ones: log total transmittance
+    # hidden channels right after the public ones: log total transmittance
+    # and the early-termination chunk count (int stored as float)
     cols = [rgb, acc[:, 0:3], acc_d, acc_d2, 1.0 - t_final]
     if ch_sem:
         cols.append(acc[:, 6:6 + ch_sem])
     cols.append(logt)
-    n_pad = c_pad - out_channels(ch_sem) - 1
+    cols.append(jnp.zeros((P, 1), jnp.float32) + k_done.astype(jnp.float32))
+    n_pad = c_pad - out_channels(ch_sem) - 2
     if n_pad:
         cols.append(jnp.zeros((P, n_pad), jnp.float32))
     out_ref[0] = jnp.concatenate(cols, axis=1)
@@ -257,6 +286,8 @@ def rasterize_forward(feats_t: jnp.ndarray, tile_starts: jnp.ndarray,
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((2, feats_t.shape[0], G), jnp.float32),
+            pltpu.VMEM((P, 4 + 6 + ch_sem), jnp.float32),
+            pltpu.SMEM((1,), jnp.int32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
@@ -275,7 +306,7 @@ def rasterize_forward(feats_t: jnp.ndarray, tile_starts: jnp.ndarray,
 # ---------------------------------------------------------------------------
 
 def _bwd_kernel(starts_ref, counts_ref, cam_ref, feats_ref, gout_ref,
-                out_ref_fwd, gfeat_ref, buf, gbuf, sems, wsem,
+                out_ref_fwd, gfeat_ref, buf, gbuf, carr_ref, sems, wsem,
                 *, ch_sem: int, depth_mode: str, n_tx: int):
     t = pl.program_id(0)
     start = pl.multiple_of(starts_ref[t], ALIGN)   # aligned tile region start
@@ -300,9 +331,12 @@ def _bwd_kernel(starts_ref, counts_ref, cam_ref, feats_ref, gout_ref,
     else:
         g_acc = jnp.concatenate([g_nrm, g_rgb], axis=1)
 
-    # per-pixel log total transmittance from the forward's hidden channel
-    logt_final = out_ref_fwd[0][:, out_channels(ch_sem):out_channels(ch_sem) + 1]
+    # hidden channels from the forward: per-pixel log total transmittance
+    # and the number of chunks composited before early termination
+    oc = out_channels(ch_sem)
+    logt_final = out_ref_fwd[0][:, oc:oc + 1]
     t_final = jnp.exp(logt_final)
+    k_lim = jnp.max(out_ref_fwd[0][:, oc + 1:oc + 2]).astype(jnp.int32)
     bg = jnp.stack([cam[4], cam[5], cam[6]])[None, :]
     b_pix = jnp.sum(bg * g_rgb, axis=1, keepdims=True) - g_al     # (P,1)
     tb = t_final * b_pix
@@ -321,8 +355,11 @@ def _bwd_kernel(starts_ref, counts_ref, cam_ref, feats_ref, gout_ref,
     def _():
         get_dma(0, nchunks - 1).start()
 
-    def body2(i, carry):
-        log_r, suffix_u = carry                        # over chunks > k
+    # reverse-walk carries [log_r, suffix_u] in VMEM scratch so the
+    # early-termination guard is a pure pl.when (no lax.cond carry copies)
+    carr_ref[:] = jnp.zeros((P, 2), jnp.float32)
+
+    def body2(i, _):
         k = nchunks - 1 - i
         slot = i % 2
 
@@ -331,81 +368,8 @@ def _bwd_kernel(starts_ref, counts_ref, cam_ref, feats_ref, gout_ref,
             get_dma((i + 1) % 2, k - 1).start()
 
         get_dma(slot, k).wait()
-        f = buf[slot]
-        alpha, ex = _alpha_chunk(f, px, py, n - k * G)
-        lg = jnp.log1p(-alpha)
-        suf_incl = jax.lax.dot_general(                # sum_{j>=g in chunk}
-            lg, lt, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        v = jnp.exp(logt_final - suf_incl - log_r)     # trans before entry g
-        w = alpha * v
-        d, dex = _depth_chunk(f, px, py, cam, depth_mode)
-        fsub = f[PF.F_NORMAL:PF.F_NORMAL + c_acc, :]
-        s = jax.lax.dot_general(g_acc, fsub, (((1,), (0,)), ((), ())),
-                                preferred_element_type=jnp.float32)
-        s = s + d * (g_d + d * g_d2)
-
-        u = w * s
-        u_suf_incl = jax.lax.dot_general(u, lt, (((1,), (0,)), ((), ())),
-                                         preferred_element_type=jnp.float32)
-        suffix = (u_suf_incl - u) + suffix_u           # sum over later entries
-
-        dalpha = v * s - (suffix + tb) / (1.0 - alpha)
-        dalpha = jnp.where(ex["live"], dalpha, 0.0)
-        dpw = jnp.where(ex["capped"], 0.0, dalpha * alpha)   # d power
-
-        # ---- reduce to per-entry rows (1, G) ----
-        gxa = ex["A"] * ex["dx"] + ex["B"] * ex["dy"]
-        gya = ex["C"] * ex["dy"] + ex["B"] * ex["dx"]
-        g_meanx = jnp.sum(dpw * gxa, axis=0, keepdims=True)
-        g_meany = jnp.sum(dpw * gya, axis=0, keepdims=True)
-        g_absx = jnp.sum(jnp.abs(dpw * gxa), axis=0, keepdims=True)
-        g_absy = jnp.sum(jnp.abs(dpw * gya), axis=0, keepdims=True)
-        g_ca = jnp.sum(dpw * (-0.5) * ex["dx"] * ex["dx"], axis=0, keepdims=True)
-        g_cb = jnp.sum(dpw * (-1.0) * ex["dx"] * ex["dy"], axis=0, keepdims=True)
-        g_cc = jnp.sum(dpw * (-0.5) * ex["dy"] * ex["dy"], axis=0, keepdims=True)
-        op_safe = jnp.maximum(ex["op"], 1e-12)
-        g_op = jnp.sum(jnp.where(ex["capped"], 0.0, dalpha * alpha),
-                       axis=0, keepdims=True) / op_safe
-
-        # feature grads (c_acc, G): sum_p w * g_acc
-        gfeat_acc = jax.lax.dot_general(
-            g_acc, w, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)        # (c_acc, G)
-
-        # depth grads
-        gd_pg = w * (g_d + 2.0 * d * g_d2)             # (P,G)
-        if depth_mode == "traditional":
-            g_z = jnp.sum(gd_pg, axis=0, keepdims=True)
-            g_pd = jnp.zeros((1, G), jnp.float32)
-            g_n = jnp.zeros((3, G), jnp.float32)
-        else:
-            denom = dex["denom"]
-            inv_den = 1.0 / denom
-            g_pd = jnp.sum(gd_pg * inv_den, axis=0, keepdims=True)
-            coef = gd_pg * (-f[PF.F_PLANE_D:PF.F_PLANE_D + 1, :]) * inv_den * inv_den
-            g_n = jnp.concatenate(
-                [jnp.sum(coef * dex["dirx"], axis=0, keepdims=True),
-                 jnp.sum(coef * dex["diry"], axis=0, keepdims=True),
-                 jnp.sum(coef * dex["dirz"], axis=0, keepdims=True)], axis=0)
-            g_z = jnp.zeros((1, G), jnp.float32)
-
         nfeat = PF.feature_dim(ch_sem)
         grows = gbuf.shape[1]
-        # rows 0..7: fixed geometry grads (packed feature order);
-        # rows 8..8+c_acc: composited-feature grads (normal, rgb, sem), the
-        # normal rows also receiving the intersection-depth term;
-        # rows nfeat+0/1: |d mean2d| densification stats; then zero padding.
-        if depth_mode != "traditional":
-            gmid = jnp.concatenate([gfeat_acc[:3] + g_n, gfeat_acc[3:]], axis=0)
-        else:
-            gmid = gfeat_acc
-        rows = [g_meanx, g_meany, g_ca, g_cb, g_cc, g_op, g_z, g_pd,
-                gmid, g_absx, g_absy]
-        n_pad = grows - (nfeat + N_EXTRA_GRAD)
-        if n_pad:
-            rows.append(jnp.zeros((n_pad, G), jnp.float32))
-        gchunk = jnp.concatenate(rows, axis=0)
 
         wslot = i % 2
         # wait previous write on this slot before overwriting the buffer
@@ -415,17 +379,109 @@ def _bwd_kernel(starts_ref, counts_ref, cam_ref, feats_ref, gout_ref,
                 gbuf.at[wslot],
                 gfeat_ref.at[:, pl.ds(start + (k + 2) * G, G)],
                 wsem.at[wslot]).wait()
-        gbuf[wslot] = gchunk
+
+        @pl.when(k >= k_lim)
+        def _():
+            # chunk never composited in the forward (early termination):
+            # zero grads, carries unchanged
+            gbuf[wslot] = jnp.zeros((grows, G), jnp.float32)
+
+        @pl.when(k < k_lim)
+        def _():
+            f = buf[slot]
+            log_r = carr_ref[:, 0:1]                   # over chunks > k
+            suffix_u = carr_ref[:, 1:2]
+            alpha, ex = _alpha_chunk(f, px, py, n - k * G)
+            lg = jnp.log1p(-alpha)
+            suf_incl = jax.lax.dot_general(            # sum_{j>=g in chunk}
+                lg, lt, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            v = jnp.exp(logt_final - suf_incl - log_r)  # trans before entry
+            w = alpha * v
+            d, dex = _depth_chunk(f, px, py, cam, depth_mode)
+            fsub = f[PF.F_NORMAL:PF.F_NORMAL + c_acc, :]
+            s = jax.lax.dot_general(g_acc, fsub, (((1,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+            s = s + d * (g_d + d * g_d2)
+
+            u = w * s
+            u_suf_incl = jax.lax.dot_general(
+                u, lt, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            suffix = (u_suf_incl - u) + suffix_u       # sum over later entries
+
+            dalpha = v * s - (suffix + tb) / (1.0 - alpha)
+            dalpha = jnp.where(ex["live"], dalpha, 0.0)
+            dpw = jnp.where(ex["capped"], 0.0, dalpha * alpha)   # d power
+
+            # ---- reduce to per-entry rows (1, G) ----
+            gxa = ex["A"] * ex["dx"] + ex["B"] * ex["dy"]
+            gya = ex["C"] * ex["dy"] + ex["B"] * ex["dx"]
+            g_meanx = jnp.sum(dpw * gxa, axis=0, keepdims=True)
+            g_meany = jnp.sum(dpw * gya, axis=0, keepdims=True)
+            g_absx = jnp.sum(jnp.abs(dpw * gxa), axis=0, keepdims=True)
+            g_absy = jnp.sum(jnp.abs(dpw * gya), axis=0, keepdims=True)
+            g_ca = jnp.sum(dpw * (-0.5) * ex["dx"] * ex["dx"], axis=0,
+                           keepdims=True)
+            g_cb = jnp.sum(dpw * (-1.0) * ex["dx"] * ex["dy"], axis=0,
+                           keepdims=True)
+            g_cc = jnp.sum(dpw * (-0.5) * ex["dy"] * ex["dy"], axis=0,
+                           keepdims=True)
+            op_safe = jnp.maximum(ex["op"], 1e-12)
+            g_op = jnp.sum(jnp.where(ex["capped"], 0.0, dalpha * alpha),
+                           axis=0, keepdims=True) / op_safe
+
+            # feature grads (c_acc, G): sum_p w * g_acc
+            gfeat_acc = jax.lax.dot_general(
+                g_acc, w, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)    # (c_acc, G)
+
+            # depth grads
+            gd_pg = w * (g_d + 2.0 * d * g_d2)         # (P,G)
+            if depth_mode == "traditional":
+                g_z = jnp.sum(gd_pg, axis=0, keepdims=True)
+                g_pd = jnp.zeros((1, G), jnp.float32)
+                g_n = jnp.zeros((3, G), jnp.float32)
+            else:
+                denom = dex["denom"]
+                inv_den = 1.0 / denom
+                g_pd = jnp.sum(gd_pg * inv_den, axis=0, keepdims=True)
+                coef = (gd_pg * (-f[PF.F_PLANE_D:PF.F_PLANE_D + 1, :])
+                        * inv_den * inv_den)
+                g_n = jnp.concatenate(
+                    [jnp.sum(coef * dex["dirx"], axis=0, keepdims=True),
+                     jnp.sum(coef * dex["diry"], axis=0, keepdims=True),
+                     jnp.sum(coef * dex["dirz"], axis=0, keepdims=True)],
+                    axis=0)
+                g_z = jnp.zeros((1, G), jnp.float32)
+
+            # rows 0..7: fixed geometry grads (packed feature order);
+            # rows 8..8+c_acc: composited-feature grads (normal, rgb, sem),
+            # the normal rows also receiving the intersection-depth term;
+            # rows nfeat+0/1: |d mean2d| densification stats; zero padding.
+            if depth_mode != "traditional":
+                gmid = jnp.concatenate([gfeat_acc[:3] + g_n, gfeat_acc[3:]],
+                                       axis=0)
+            else:
+                gmid = gfeat_acc
+            rows = [g_meanx, g_meany, g_ca, g_cb, g_cc, g_op, g_z, g_pd,
+                    gmid, g_absx, g_absy]
+            n_pad = grows - (nfeat + N_EXTRA_GRAD)
+            if n_pad:
+                rows.append(jnp.zeros((n_pad, G), jnp.float32))
+            gchunk = jnp.concatenate(rows, axis=0)
+            gbuf[wslot] = gchunk
+            carr_ref[:] = jnp.concatenate(
+                [log_r + suf_incl[:, 0:1], suffix_u + u_suf_incl[:, 0:1]],
+                axis=1)
+
         pltpu.make_async_copy(
             gbuf.at[wslot], gfeat_ref.at[:, pl.ds(start + k * G, G)],
             wsem.at[wslot]).start()
 
-        return (log_r + suf_incl[:, 0:1],              # add full-chunk logsum
-                suffix_u + u_suf_incl[:, 0:1])
+        return 0
 
-    jax.lax.fori_loop(
-        0, nchunks, body2,
-        (jnp.zeros((P, 1), jnp.float32), jnp.zeros((P, 1), jnp.float32)))
+    jax.lax.fori_loop(0, nchunks, body2, 0)
 
     # drain outstanding write DMAs (up to two; chunks 0 and 1 were last)
     def drain(k):
@@ -463,6 +519,7 @@ def rasterize_backward(feats_t, tile_starts, tile_counts, cam, gout_tiles,
         scratch_shapes=[
             pltpu.VMEM((2, f_pad, G), jnp.float32),
             pltpu.VMEM((2, f_pad, G), jnp.float32),
+            pltpu.VMEM((P, 2), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
@@ -483,8 +540,9 @@ def rasterize_backward(feats_t, tile_starts, tile_counts, cam, gout_tiles,
 # per-entry visibility / importance stats (f_count render modes)
 # ---------------------------------------------------------------------------
 
-def _stats_kernel(starts_ref, counts_ref, cam_ref, feats_ref, stats_ref, buf, gbuf, sems,
-                  wsem, *, n_tx: int, width: int, height: int):
+def _stats_kernel(starts_ref, counts_ref, cam_ref, feats_ref, stats_ref, buf,
+                  gbuf, carr_ref, sems, wsem, *, n_tx: int, width: int,
+                  height: int):
     t = pl.program_id(0)
     start = pl.multiple_of(starts_ref[t], ALIGN)   # aligned tile region start
     n = counts_ref[t]
@@ -502,7 +560,9 @@ def _stats_kernel(starts_ref, counts_ref, cam_ref, feats_ref, stats_ref, buf, gb
     def _():
         get_dma(0, 0).start()
 
-    def body(k, t_carry):
+    carr_ref[:] = jnp.ones((P, 1), jnp.float32)    # transmittance carry
+
+    def body(k, _):
         slot = k % 2
 
         @pl.when(k + 1 < nchunks)
@@ -510,15 +570,6 @@ def _stats_kernel(starts_ref, counts_ref, cam_ref, feats_ref, stats_ref, buf, gb
             get_dma((k + 1) % 2, k + 1).start()
 
         get_dma(slot, k).wait()
-        f = buf[slot]
-        alpha, ex = _alpha_chunk(f, px, py, n - k * G, pvalid)
-        trans_excl, chunk_total, _ = _transmittance(alpha, ut)
-        w = alpha * trans_excl * t_carry
-        count = jnp.sum(ex["live"].astype(jnp.float32), axis=0, keepdims=True)
-        imp = jnp.sum(w, axis=0, keepdims=True)
-
-        out = jnp.concatenate([count, imp, jnp.zeros((6, G), jnp.float32)],
-                              axis=0)
         wslot = k % 2
 
         @pl.when(k >= 2)
@@ -526,13 +577,34 @@ def _stats_kernel(starts_ref, counts_ref, cam_ref, feats_ref, stats_ref, buf, gb
             pltpu.make_async_copy(
                 gbuf.at[wslot], stats_ref.at[:, pl.ds(start + (k - 2) * G, G)],
                 wsem.at[wslot]).wait()
-        gbuf[wslot] = out
+
+        t_carry = carr_ref[:]
+        alive = jnp.max(t_carry) >= T_EPS
+
+        @pl.when(alive)
+        def _():
+            f = buf[slot]
+            alpha, ex = _alpha_chunk(f, px, py, n - k * G, pvalid)
+            trans_excl, chunk_total, _ = _transmittance(alpha, ut)
+            w = alpha * trans_excl * t_carry
+            count = jnp.sum(ex["live"].astype(jnp.float32), axis=0,
+                            keepdims=True)
+            imp = jnp.sum(w, axis=0, keepdims=True)
+            gbuf[wslot] = jnp.concatenate(
+                [count, imp, jnp.zeros((6, G), jnp.float32)], axis=0)
+            carr_ref[:] = t_carry * chunk_total
+
+        @pl.when(jnp.logical_not(alive))
+        def _():
+            # early-terminated (CUDA parity): no hits past saturation
+            gbuf[wslot] = jnp.zeros((8, G), jnp.float32)
+
         pltpu.make_async_copy(
             gbuf.at[wslot], stats_ref.at[:, pl.ds(start + k * G, G)],
             wsem.at[wslot]).start()
-        return t_carry * chunk_total
+        return 0
 
-    jax.lax.fori_loop(0, nchunks, body, jnp.ones((P, 1), jnp.float32))
+    jax.lax.fori_loop(0, nchunks, body, 0)
 
     def drain(k):
         @pl.when((k >= 0) & (k < nchunks))
@@ -559,6 +631,7 @@ def rasterize_stats(feats_t, tile_starts, tile_counts, cam, n_tx, n_ty,
         scratch_shapes=[
             pltpu.VMEM((2, feats_t.shape[0], G), jnp.float32),
             pltpu.VMEM((2, 8, G), jnp.float32),
+            pltpu.VMEM((P, 1), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
