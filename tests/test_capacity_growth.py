@@ -52,3 +52,28 @@ def test_trainer_grows_on_overflow(tmp_path):
     if bool(aux["overflow"]):
         tr.train_step()
         assert tr.rcfg.entry_budget > b0
+
+
+def test_trainer_shrinks_oversized_budget(tmp_path):
+    """Entry-budget right-sizing: with >=4x sustained headroom the budget
+    halves (and cannot oscillate: the halved budget keeps >=2x headroom)."""
+    import sys
+    sys.path.insert(0, "tests")
+    from fixtures import write_colmap_scene
+    from vcr_gaus_tpu.config import Config
+    from vcr_gaus_tpu.train.trainer import Trainer
+    root = str(tmp_path / "scene")
+    write_colmap_scene(root, n_cams=4, n_pts=100, width=64, height=48)
+    c = Config("configs/config_base.yaml")
+    c.logdir = str(tmp_path / "log")
+    c.model.source_path = root
+    c.model.resolution = 1
+    c.model.depth_type = "traditional"
+    c.tpu.capacity = 256
+    tr = Trainer(c)
+    tr._set_entry_budget(1 << 18)          # grossly oversized for this scene
+    tr._entries_window = 198               # window closes on the 2nd step
+    tr.train_step()
+    tr.train_step()
+    assert tr.rcfg.entry_budget == (1 << 17)
+    assert tr._entries_window == 0 and tr._entries_peak == 0

@@ -237,7 +237,7 @@ def test_entry_builder_grad_matches_scatter_even_truncated():
             rng.normal(size=(binn.sorted_gid.shape[0], 8)).astype(np.float32))
 
         def f(p):
-            entries, _ = build(p, mean2d, radius, depth_z)
+            entries, _ = build(p, mean2d, radius, depth_z, None)
             return jnp.vdot(entries, cot)
 
         got = np.asarray(jax.grad(f)(payload))

@@ -105,6 +105,8 @@ def bin_and_gather(
     tile: int,
     entry_budget: int,
     align: int = 128,
+    extents: jnp.ndarray | None = None,   # (N,2) per-axis pixel extents;
+                                          # default = circular `radius`
 ):
     """Bin gaussians to tiles and (optionally) materialize per-entry feature
     rows in the aligned layout. Returns (Binning, entries_al (E_al, C) or
@@ -122,17 +124,22 @@ def bin_and_gather(
 
     mean2d = jax.lax.stop_gradient(mean2d)
     depth_sg = jax.lax.stop_gradient(depth_z)
-    r = radius.astype(jnp.float32)
+    if extents is None:
+        rx = ry = radius.astype(jnp.float32)
+        alive = radius > 0
+    else:
+        extents = jax.lax.stop_gradient(extents)
+        rx, ry = extents[:, 0], extents[:, 1]
+        alive = (radius > 0) & (rx > 0) & (ry > 0)
 
     # CUDA getRect semantics: min inclusive, max exclusive.
-    x0 = jnp.clip(((mean2d[:, 0] - r) / tile).astype(jnp.int32), 0, n_tx)
-    y0 = jnp.clip(((mean2d[:, 1] - r) / tile).astype(jnp.int32), 0, n_ty)
-    x1 = jnp.clip(((mean2d[:, 0] + r + tile - 1) / tile).astype(jnp.int32), 0, n_tx)
-    y1 = jnp.clip(((mean2d[:, 1] + r + tile - 1) / tile).astype(jnp.int32), 0, n_ty)
+    x0 = jnp.clip(((mean2d[:, 0] - rx) / tile).astype(jnp.int32), 0, n_tx)
+    y0 = jnp.clip(((mean2d[:, 1] - ry) / tile).astype(jnp.int32), 0, n_ty)
+    x1 = jnp.clip(((mean2d[:, 0] + rx + tile - 1) / tile).astype(jnp.int32), 0, n_tx)
+    y1 = jnp.clip(((mean2d[:, 1] + ry + tile - 1) / tile).astype(jnp.int32), 0, n_ty)
 
     span_w = jnp.maximum(x1 - x0, 0)
     span_h = jnp.maximum(y1 - y0, 0)
-    alive = radius > 0
     count = jnp.where(alive, span_w * span_h, 0).astype(jnp.int32)
 
     offsets = jnp.cumsum(count) - count                    # exclusive
@@ -234,8 +241,9 @@ def bin_and_gather(
 
 
 def bin_gaussians(mean2d, radius, depth_z, width, height, tile,
-                  entry_budget, align: int = 128) -> Binning:
+                  entry_budget, align: int = 128,
+                  extents=None) -> Binning:
     """Binning without feature materialization (stats paths, tests)."""
     binn, _ = bin_and_gather(mean2d, radius, depth_z, None, width, height,
-                             tile, entry_budget, align)
+                             tile, entry_budget, align, extents=extents)
     return binn

@@ -47,6 +47,11 @@ class Projected(NamedTuple):
     depth_z: jnp.ndarray     # (N,) camera z
     radius: jnp.ndarray      # (N,) int32 pixel radius (0 = culled)
     mean_cam: jnp.ndarray    # (N,3) camera-space means
+    ext: jnp.ndarray         # (N,2) per-axis binning extents (pixels); the
+                             # AABB of the alpha >= 1/255 level ellipse —
+                             # tighter than the circular radius, image- and
+                             # gradient-exact (outside pixels are masked
+                             # dead by the kernels' ALPHA_EPS test)
 
 
 def project_gaussians(
@@ -60,12 +65,21 @@ def project_gaussians(
     width: int,
     height: int,
     scale_modifier: float = 1.0,
+    opacity: jnp.ndarray | None = None,
 ) -> Projected:
     """Project Gaussians to screen space.
 
     Culling / radius / low-pass behavior matches the 3DGS rasterizer contract:
     near-plane cull at z<=0.2, EWA Jacobian with ±1.3*tanfov frustum clamp,
     +0.3px isotropic dilation, radius = ceil(3 sqrt(lambda_max)).
+
+    `opacity` (optional, (N,)) tightens the per-axis binning extents to the
+    AABB of the alpha = 1/255 level set (exp(-power) support); without it the
+    extents are the 3-sigma AABB. Either is exact w.r.t. the composite: the
+    kernels mask alpha < 1/255 to zero, so entries binned outside the support
+    contribute neither pixels nor gradients. The reported circular `radius`
+    stays the reference's ceil(3 sqrt(lambda_max)) (it feeds max_radii2D
+    densification stats and size pruning, trainer.py:343-374 semantics).
     """
     # Everything below is explicit scalar-component algebra over (N,)
     # vectors: batched 3x3 matmuls (the natural torch/CUDA phrasing) lower to
@@ -150,6 +164,21 @@ def project_gaussians(
     lam1 = mid + jnp.sqrt(jnp.maximum(0.1, mid * mid - det))
     radius_f = jnp.ceil(3.0 * jnp.sqrt(lam1))
 
+    # per-axis extents: AABB of {0.5 x^T Sigma2d^{-1} x = L} is
+    # (sqrt(2 L Sigma_xx), sqrt(2 L Sigma_yy)); L = ln(255 op) is where
+    # alpha crosses the kernels' 1/255 cutoff (L = 4.5 reproduces 3 sigma)
+    if opacity is None:
+        lvl = 4.5
+    else:
+        lvl = jnp.clip(jnp.log(255.0 * jnp.maximum(opacity, 1e-12)), 0.0,
+                       4.5)
+    ext_x = jnp.ceil(jnp.sqrt(2.0 * lvl * a))
+    ext_y = jnp.ceil(jnp.sqrt(2.0 * lvl * c))
+    if opacity is not None:
+        dead = opacity * 255.0 <= 1.0
+        ext_x = jnp.where(dead, 0.0, ext_x)
+        ext_y = jnp.where(dead, 0.0, ext_y)
+
     mean2d = jnp.stack(
         [((cx * p_w + 1.0) * width - 1.0) * 0.5,
          ((cy * p_w + 1.0) * height - 1.0) * 0.5],
@@ -164,9 +193,12 @@ def project_gaussians(
     )
     radius = jnp.where(visible & in_image, radius_f, 0.0)
     radius = jax.lax.stop_gradient(radius).astype(jnp.int32)
+    keep = (visible & in_image)[:, None]
+    ext = jax.lax.stop_gradient(
+        jnp.where(keep, jnp.stack([ext_x, ext_y], axis=-1), 0.0))
 
     return Projected(mean2d=mean2d, conic=conic, depth_z=p_view[:, 2],
-                     radius=radius, mean_cam=p_view)
+                     radius=radius, mean_cam=p_view, ext=ext)
 
 
 def pack_features(

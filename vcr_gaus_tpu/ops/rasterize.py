@@ -47,11 +47,11 @@ class BinAux(NamedTuple):
 
 
 def compute_bin_aux(mean2d, radius, depth_z, width, height,
-                    entry_budget) -> BinAux:
+                    entry_budget, extents=None) -> BinAux:
     """Binning + backward permutation for one camera (geometry only, no
     payload — everything downstream of stop_gradient)."""
     binn = B.bin_gaussians(mean2d, radius, depth_z, width, height, TILE,
-                           entry_budget, align=K.ALIGN)
+                           entry_budget, align=K.ALIGN, extents=extents)
     e_al = binn.sorted_gid.shape[0]
     iota = jnp.arange(e_al, dtype=jnp.int32)
     _, perm = jax.lax.sort((binn.sorted_gid, iota), num_keys=1)
@@ -101,18 +101,18 @@ def _make_entry_builder(width: int, height: int, entry_budget: int):
     are the binning's per-gaussian offsets, clamped to the kept-entry count,
     which stays exact even when the entry budget truncated the expansion."""
 
-    def _run(payload, mean2d, radius, depth_z):
+    def _run(payload, mean2d, radius, depth_z, extents):
         return B.bin_and_gather(mean2d, radius, depth_z, payload,
                                 width, height, TILE, entry_budget,
-                                align=K.ALIGN)
+                                align=K.ALIGN, extents=extents)
 
     @jax.custom_vjp
-    def build(payload, mean2d, radius, depth_z):
-        binn, entries = _run(payload, mean2d, radius, depth_z)
+    def build(payload, mean2d, radius, depth_z, extents):
+        binn, entries = _run(payload, mean2d, radius, depth_z, extents)
         return entries, binn
 
-    def build_fwd(payload, mean2d, radius, depth_z):
-        binn, entries = _run(payload, mean2d, radius, depth_z)
+    def build_fwd(payload, mean2d, radius, depth_z, extents):
+        binn, entries = _run(payload, mean2d, radius, depth_z, extents)
         return (entries, binn), (binn.sorted_gid, binn.gauss_offsets,
                                  binn.gauss_counts, binn.num_entries)
 
@@ -128,7 +128,7 @@ def _make_entry_builder(width: int, height: int, entry_budget: int):
         lo = jnp.minimum(offs, kept)
         hi = jnp.minimum(offs + cnts, kept)
         g_payload = csum[hi] - csum[lo]
-        return (g_payload, None, None, None)
+        return (g_payload, None, None, None, None)
 
     build.defvjp(build_fwd, build_bwd)
     return build
@@ -178,6 +178,7 @@ def rasterize_image(
     depth_mode: str,
     entry_budget: int,
     bin_aux: BinAux | None = None,
+    extents: jnp.ndarray | None = None,  # (N,2) tight per-axis extents
 ):
     """Bin + composite. Returns (img (C_out,H,W), Binning) with C_out = 9+S:
     rgb(3,bg-blended), normal(3), sum w*d, sum w*d^2, alpha, sem(S).
@@ -206,7 +207,7 @@ def rasterize_image(
                                binn.num_entries)
     else:
         build = _make_entry_builder(width, height, entry_budget)
-        entries_al, binn = build(payload, mean2d, radius, depth_z)
+        entries_al, binn = build(payload, mean2d, radius, depth_z, extents)
     feats_t = entries_al.T                                 # (F_PAD, E_al)
 
     core = _make_core(ch_sem, depth_mode, n_tx, n_ty)
@@ -219,7 +220,7 @@ def rasterize_image(
 
 
 def rasterize_entry_stats(feats, mean2d, radius, depth_z, cam, width, height,
-                          ch_sem, entry_budget):
+                          ch_sem, entry_budget, extents=None):
     """Per-Gaussian (pixel hit count, summed blending weight) — the
     f_count render modes of the reference fork (count_render/visi_acc_render,
     gaussian_renderer/__init__.py:250-571) collapsed into one stats kernel.
@@ -232,7 +233,7 @@ def rasterize_entry_stats(feats, mean2d, radius, depth_z, cam, width, height,
                if pad_c else feats)
     binn, entries_al = B.bin_and_gather(
         mean2d, radius, depth_z, payload, width, height, TILE, entry_budget,
-        align=K.ALIGN)
+        align=K.ALIGN, extents=extents)
 
     stats = K.rasterize_stats(entries_al.T, binn.tile_starts,
                               binn.tile_counts, cam, n_tx, n_ty, width,

@@ -74,7 +74,7 @@ def render(
     proj = PF.project_gaussians(
         xyz, scales, quats, cam.viewmatrix, cam.projmatrix,
         cam.tanfov[0], cam.tanfov[1], cfg.width, cfg.height,
-        cfg.scale_modifier)
+        cfg.scale_modifier, opacity=opacity)
     radius = jnp.where(act, proj.radius, 0)
 
     # SH -> RGB along per-Gaussian view dirs (convert_SHs_python oracle path,
@@ -109,7 +109,8 @@ def render(
     img, binn = R.rasterize_image(feats, dummy, proj.mean2d, radius,
                                   proj.depth_z, cam_vec, cfg.width,
                                   cfg.height, cfg.ch_sem, cfg.depth_mode,
-                                  cfg.entry_budget, bin_aux=bin_aux)
+                                  cfg.entry_budget, bin_aux=bin_aux,
+                                  extents=proj.ext)
 
     rendered = img[0:3]
     nrm = img[3:6]
@@ -166,10 +167,10 @@ def compute_camera_binning(state: GaussianState, cam: CameraArrays,
     proj = PF.project_gaussians(
         p.xyz, state.scaling, p.quat, cam.viewmatrix, cam.projmatrix,
         cam.tanfov[0], cam.tanfov[1], cfg.width, cfg.height,
-        cfg.scale_modifier)
+        cfg.scale_modifier, opacity=state.opacity[:, 0])
     radius = jnp.where(state.active, proj.radius, 0)
     return R.compute_bin_aux(proj.mean2d, radius, proj.depth_z, cfg.width,
-                             cfg.height, cfg.entry_budget)
+                             cfg.height, cfg.entry_budget, extents=proj.ext)
 
 
 def render_stats(state: GaussianState, cam: CameraArrays, cfg: RenderConfig,
@@ -180,7 +181,7 @@ def render_stats(state: GaussianState, cam: CameraArrays, cfg: RenderConfig,
     proj = PF.project_gaussians(
         p.xyz, state.scaling, p.quat, cam.viewmatrix, cam.projmatrix,
         cam.tanfov[0], cam.tanfov[1], cfg.width, cfg.height,
-        cfg.scale_modifier)
+        cfg.scale_modifier, opacity=state.opacity[:, 0])
     radius = jnp.where(state.active, proj.radius, 0)
     rgb = jnp.zeros((p.xyz.shape[0], 3), jnp.float32)
     feats = PF.pack_features(proj, state.opacity[:, 0], rgb, None, None, 0)
@@ -188,5 +189,5 @@ def render_stats(state: GaussianState, cam: CameraArrays, cfg: RenderConfig,
                               ).astype(jnp.float32)
     count, imp = R.rasterize_entry_stats(
         feats, proj.mean2d, radius, proj.depth_z, cam_vec, cfg.width,
-        cfg.height, 0, cfg.entry_budget)
+        cfg.height, 0, cfg.entry_budget, extents=proj.ext)
     return count, imp

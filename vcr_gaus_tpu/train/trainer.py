@@ -375,6 +375,8 @@ class Trainer:
         self.test_history: list[dict] = []
         self._prefetched = None
         self._bin_aux = None
+        self._entries_peak = 0
+        self._entries_window = 0
         self._tb = _make_tb_writer(cfg.logdir)
         start_ckpt = getattr(cfg.train, "start_checkpoint", None)
         if start_ckpt:
@@ -449,6 +451,24 @@ class Trainer:
         if bool(aux["overflow"]):
             self._grow_entry_budget()
             self._bin_aux = None
+        else:
+            # entry-budget right-sizing: binning cost (sort/fill/gather)
+            # scales with the STATIC budget, so shrink it when the observed
+            # peak leaves >=4x headroom for a sustained window (pruning and
+            # the opacity-aware tight extents both reduce entries mid-run);
+            # the halved budget keeps >=2x headroom, so grow/shrink cannot
+            # oscillate
+            self._entries_peak = max(self._entries_peak,
+                                     int(aux["num_entries"]))
+            self._entries_window += 1
+            if self._entries_window >= 200:
+                budget = self.rcfg.entry_budget
+                if (budget > (1 << 16)
+                        and self._entries_peak * 4 <= budget):
+                    self._set_entry_budget(budget // 2)
+                    self._bin_aux = None
+                self._entries_peak = 0
+                self._entries_window = 0
 
         o = self.cfg.optim
         it = self.iteration
