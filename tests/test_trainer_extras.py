@@ -92,3 +92,70 @@ def test_blender_reader_and_training(tmp_path):
         losses, _ = tr.train_step()
         l0 = l0 or float(losses["l1"])
     assert np.isfinite(float(losses["total"]))
+
+
+def test_gui_pump_serves_frames(tmp_path):
+    """The viewer pump renders the requested camera at the viewer's
+    resolution and streams the frame back (full receive/render loop; the
+    reference wires only network_gui.init, trainer.py:64-65)."""
+    import json
+    import socket
+    import threading
+    import time
+
+    import numpy as np
+
+    from fixtures import write_colmap_scene
+    from vcr_gaus_tpu.config import Config
+    from vcr_gaus_tpu.render.network_gui import NetworkGUI
+    from vcr_gaus_tpu.train.trainer import Trainer
+
+    root = str(tmp_path / "scene")
+    write_colmap_scene(root, n_cams=3, n_pts=120, width=48, height=32)
+    c = Config("configs/config_base.yaml")
+    c.logdir = str(tmp_path / "log")
+    c.model.source_path = root
+    c.model.resolution = 1
+    c.model.depth_type = "traditional"
+    c.tpu.capacity = 256
+    tr = Trainer(c)
+    tr._gui = NetworkGUI("127.0.0.1", 0)      # ephemeral port
+    port = tr._gui.listener.getsockname()[1]
+
+    W, H = 32, 16
+    results = {}
+
+    def client():
+        s = socket.create_connection(("127.0.0.1", port))
+        view = np.eye(4).reshape(-1).tolist()
+        msg = json.dumps({
+            "resolution_x": W, "resolution_y": H, "train": True,
+            "fov_y": 0.6, "fov_x": 0.8, "z_near": 0.01, "z_far": 100.0,
+            "shs_python": False, "rot_scale_python": False,
+            "keep_alive": True, "scaling_modifier": 1.0,
+            "view_matrix": view, "view_projection_matrix": view,
+        }).encode()
+        s.sendall(len(msg).to_bytes(4, "little"))
+        s.sendall(msg)
+        n = W * H * 3
+        buf = b""
+        while len(buf) < n:
+            chunk = s.recv(n - len(buf))
+            if not chunk:
+                break
+            buf += chunk
+        vlen = int.from_bytes(s.recv(4), "little")
+        results["verify"] = s.recv(vlen).decode()
+        results["img_bytes"] = len(buf)
+        s.close()
+
+    t = threading.Thread(target=client, daemon=True)
+    t.start()
+    for _ in range(400):                      # wait for the message to land
+        tr._gui_pump()
+        if results.get("img_bytes"):
+            break
+        time.sleep(0.05)
+    t.join(timeout=10)
+    assert results.get("img_bytes") == W * H * 3
+    assert results.get("verify") == root

@@ -378,6 +378,14 @@ class Trainer:
         self._entries_peak = 0
         self._entries_window = 0
         self._tb = _make_tb_writer(cfg.logdir)
+        # remote viewer bridge (cfg.port > 0, trainer.py:64-65; unlike the
+        # reference — which only wires init — the pump runs, see _gui_pump)
+        self._gui = None
+        self._gui_render_cache: dict = {}
+        if int(getattr(cfg, "port", -1) or -1) > 0:
+            from ..render.network_gui import NetworkGUI
+            self._gui = NetworkGUI(str(getattr(cfg, "ip", "127.0.0.1")),
+                                   int(cfg.port))
         start_ckpt = getattr(cfg.train, "start_checkpoint", None)
         if start_ckpt:
             self.restore_checkpoint(start_ckpt)
@@ -495,6 +503,7 @@ class Trainer:
         max_iters = max_iters or self.cfg.optim.iterations
         t0 = time.time()
         while self.iteration < max_iters:
+            self._gui_pump()
             losses, aux = self.train_step()
             if self.iteration % log_every == 0 or self.iteration == max_iters:
                 rec = {k: float(v) for k, v in losses.items()}
@@ -511,6 +520,53 @@ class Trainer:
             if self.iteration in list(self.cfg.train.checkpoint_iterations):
                 self.save_checkpoint()
         return self.history
+
+    def _gui_pump(self):
+        """Upstream-3DGS viewer pump: poll the SIBR socket, render the
+        requested camera, stream the frame back; a `train: false` message
+        pauses training until toggled (the reference wires only init,
+        trainer.py:64-65 — this implements the full receive/render loop).
+
+        Per-(W,H) render fns are jit-cached; the scaling-modifier slider is
+        folded into log-scales as a device scalar (no recompile per value);
+        SH is evaluated at the full configured degree, which is exact at any
+        warmup stage because inactive degrees' coefficients are still zero.
+        """
+        if self._gui is None:
+            return
+        from ..render.renderer import render as _render
+        while True:
+            req = self._gui.poll()
+            if req is None:
+                return
+            if req.camera is not None:
+                h, w = req.camera.image.shape[1], req.camera.image.shape[2]
+                fn = self._gui_render_cache.get((w, h))
+                if fn is None:
+                    rcfg = self.rcfg._replace(width=w, height=h, ch_sem=0,
+                                              return_normal=False)
+                    sh_deg = int(self.cfg.model.sh_degree)
+                    ext = float(self.extent)
+
+                    def fn(state, cam, log_sm, _rcfg=rcfg, _deg=sh_deg):
+                        p = state.params
+                        st = state._replace(params=p._replace(
+                            log_scale=p.log_scale + log_sm))
+                        out = _render(st, cam, _rcfg, jnp.zeros(3),
+                                      sh_degree=_deg, scene_extent=ext)
+                        return jnp.clip(out["render"], 0.0, 1.0)
+
+                    fn = jax.jit(fn)
+                    self._gui_render_cache[(w, h)] = fn
+                cam = jax.tree.map(jnp.asarray, req.camera)
+                sm = jnp.log(jnp.maximum(req.scaling_modifier, 1e-6))
+                img = fn(self.state, cam, sm)
+                self._gui.send_image(np.asarray(img),
+                                     self.cfg.model.source_path)
+            if req.do_training:
+                return
+            # paused: keep serving frames until the viewer resumes
+            time.sleep(0.01)
 
     def run_test(self):
         """Periodic PSNR/L1 sweep over train+test views + image panels
