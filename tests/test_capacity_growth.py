@@ -43,6 +43,7 @@ def test_trainer_grows_on_overflow(tmp_path):
     c.model.depth_type = "traditional"
     c.tpu.capacity = 512
     c.tpu.entry_budget_factor = 1   # deliberately tiny -> overflow
+    c.tpu.overflow_check_interval = 1
     tr = Trainer(c)
     b0 = tr.rcfg.entry_budget
     for _ in range(3):
@@ -70,6 +71,7 @@ def test_trainer_shrinks_oversized_budget(tmp_path):
     c.model.resolution = 1
     c.model.depth_type = "traditional"
     c.tpu.capacity = 256
+    c.tpu.overflow_check_interval = 1
     tr = Trainer(c)
     tr._set_entry_budget(1 << 18)          # grossly oversized for this scene
     tr._entries_window = 198               # window closes on the 2nd step

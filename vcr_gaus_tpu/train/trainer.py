@@ -377,6 +377,8 @@ class Trainer:
         self._bin_aux = None
         self._entries_peak = 0
         self._entries_window = 0
+        self._ovf_dev = None
+        self._ne_dev = None
         self._tb = _make_tb_writer(cfg.logdir)
         # remote viewer bridge (cfg.port > 0, trainer.py:64-65; unlike the
         # reference — which only wires init — the pump runs, see _gui_pump)
@@ -456,27 +458,42 @@ class Trainer:
         # entry-budget growth) — opacity resets and SH warmup keep it valid
         self._bin_aux = aux.pop("next_bin_aux", None)
 
-        if bool(aux["overflow"]):
-            self._grow_entry_budget()
-            self._bin_aux = None
-        else:
-            # entry-budget right-sizing: binning cost (sort/fill/gather)
-            # scales with the STATIC budget, so shrink it when the observed
-            # peak leaves >=4x headroom for a sustained window (pruning and
-            # the opacity-aware tight extents both reduce entries mid-run);
-            # the halved budget keeps >=2x headroom, so grow/shrink cannot
-            # oscillate
-            self._entries_peak = max(self._entries_peak,
-                                     int(aux["num_entries"]))
-            self._entries_window += 1
-            if self._entries_window >= 200:
-                budget = self.rcfg.entry_budget
-                if (budget > (1 << 16)
-                        and self._entries_peak * 4 <= budget):
-                    self._set_entry_budget(budget // 2)
-                    self._bin_aux = None
-                self._entries_peak = 0
-                self._entries_window = 0
+        # defer the overflow/entry-count HOST fetch: a per-step bool() fetch
+        # is a device->host round-trip that serializes async dispatch (and
+        # rides the control tunnel on this backend). Overflow/num_entries
+        # accumulate DEVICE-side (lazy | and max, no sync) and are fetched
+        # every `overflow_check_interval` steps; an unreacted overflow step
+        # renders mis-binned but in-bounds (ops/binning.py contract), so a
+        # bounded reaction delay only costs a few noisy gradients.
+        self._ovf_dev = (aux["overflow"] if self._ovf_dev is None
+                         else self._ovf_dev | aux["overflow"])
+        self._ne_dev = (aux["num_entries"] if self._ne_dev is None
+                        else jnp.maximum(self._ne_dev, aux["num_entries"]))
+        interval = int(getattr(self.cfg.tpu, "overflow_check_interval", 10))
+        if self.iteration % interval == 0:
+            if bool(jnp.any(self._ovf_dev)):
+                self._grow_entry_budget()
+                self._bin_aux = None
+            else:
+                # entry-budget right-sizing: binning cost (sort/fill/gather)
+                # scales with the STATIC budget, so shrink it when the
+                # observed peak leaves >=4x headroom for a sustained window
+                # (pruning and the opacity-aware tight extents both reduce
+                # entries mid-run); the halved budget keeps >=2x headroom,
+                # so grow/shrink cannot oscillate
+                self._entries_peak = max(self._entries_peak,
+                                         int(jnp.max(self._ne_dev)))
+                self._entries_window += interval
+                if self._entries_window >= 200:
+                    budget = self.rcfg.entry_budget
+                    if (budget > (1 << 16)
+                            and self._entries_peak * 4 <= budget):
+                        self._set_entry_budget(budget // 2)
+                        self._bin_aux = None
+                    self._entries_peak = 0
+                    self._entries_window = 0
+            self._ovf_dev = None
+            self._ne_dev = None
 
         o = self.cfg.optim
         it = self.iteration
