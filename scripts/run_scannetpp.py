@@ -1,0 +1,112 @@
+#!/usr/bin/env python
+"""ScanNet++ multi-scene pipeline — the multi-chip scene-data-parallel
+configuration (BASELINE.md stretch; reference has only the recipe yaml,
+configs/scannetpp/base.yaml, and runs scenes one-per-GPU via the
+python_scripts/run_base.py pool).
+
+TPU-native scene dispatch: one scene per chip, share-nothing (the
+reference's process-level model, SURVEY.md §5.8). Each worker subprocess is
+pinned to its chip via TPU_VISIBLE_CHIPS / JAX_DEFAULT_DEVICE; on single-chip
+or CPU hosts the scenes just run sequentially.
+
+  python scripts/run_scannetpp.py --data_root data/scannetpp \\
+      [--scenes 0a5c013435 ...] [--parallel 4] [--dry]
+
+Per scene: train -> mesh (voxel 1.5e-2 per the recipe) -> NVS metrics;
+aggregates mean PSNR like the reference's show_* scripts.
+"""
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def stage_cmds(py, scene, src, logdir, iterations=None):
+    train = [py, "train.py", "--config=configs/scannetpp/base.yaml",
+             f"--model.source_path={src}", f"--logdir={logdir}"]
+    if iterations:
+        train.append(f"--optim.iterations={iterations}")
+    mesh = [py, "depth2mesh.py", f"--cfg_path={logdir}/config.yaml",
+            "--voxel_size=0.015"]
+    eval_ = [py, "render_eval.py", f"--cfg_path={logdir}/config.yaml"]
+    return [train, mesh, eval_]
+
+
+def run_scene(py, scene, src, logdir, iterations, env, dry):
+    for cmd in stage_cmds(py, scene, src, logdir, iterations):
+        print(f"[{scene}] +", " ".join(cmd), flush=True)
+        if dry:
+            continue
+        r = subprocess.run(cmd, cwd=REPO, env=env)
+        if r.returncode != 0:
+            print(f"[{scene}] stage failed ({r.returncode}); aborting scene",
+                  flush=True)
+            return False
+        # check_finish gates (run_base.py:46-50)
+        if cmd[1] == "train.py" and not os.path.isdir(
+                os.path.join(logdir, "point_cloud")):
+            print(f"[{scene}] check_finish: no point_cloud/", flush=True)
+            return False
+    return True
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--data_root", required=True)
+    ap.add_argument("--out", default="output/scannetpp")
+    ap.add_argument("--scenes", nargs="*", default=None,
+                    help="default: every subdirectory of data_root")
+    ap.add_argument("--iterations", type=int, default=None)
+    ap.add_argument("--parallel", type=int, default=0,
+                    help="concurrent scenes, one per chip (0 = sequential)")
+    ap.add_argument("--dry", action="store_true")
+    args = ap.parse_args()
+
+    scenes = args.scenes or sorted(
+        d for d in os.listdir(args.data_root)
+        if os.path.isdir(os.path.join(args.data_root, d)))
+    py = sys.executable
+
+    jobs = []
+    for i, scene in enumerate(scenes):
+        src = os.path.join(args.data_root, scene)
+        logdir = os.path.join(args.out, scene)
+        env = dict(os.environ)
+        if args.parallel > 1:
+            # pin the worker to one chip (both spellings; the active TPU
+            # runtime picks up whichever it honors)
+            chip = i % args.parallel
+            env["TPU_VISIBLE_CHIPS"] = str(chip)
+            env["TPU_VISIBLE_DEVICES"] = str(chip)
+        jobs.append((scene, src, logdir, env))
+
+    if args.parallel > 1 and not args.dry:
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=args.parallel) as ex:
+            futs = {ex.submit(run_scene, py, s, src, ld, args.iterations,
+                              env, args.dry): s
+                    for s, src, ld, env in jobs}
+            ok = {futs[f]: f.result() for f in futs}
+    else:
+        ok = {s: run_scene(py, s, src, ld, args.iterations, env, args.dry)
+              for s, src, ld, env in jobs}
+
+    results = {}
+    for scene, _, logdir, _ in jobs:
+        for root, _, files in os.walk(logdir):
+            if "results.json" in files:
+                with open(os.path.join(root, "results.json")) as f:
+                    results[scene] = json.load(f)
+    out = {"per_scene": results, "ok": ok}
+    if results:
+        out["mean_psnr"] = (sum(r.get("PSNR", 0) for r in results.values())
+                            / len(results))
+    print(json.dumps(out, indent=2, default=str))
+
+
+if __name__ == "__main__":
+    main()

@@ -48,3 +48,40 @@ def test_ascii_ply(tmp_path):
     d = read_ply(str(p))
     np.testing.assert_allclose(d["x"], [0, 3])
     np.testing.assert_allclose(d["z"], [2, 5])
+
+
+def test_gaussian_ply_header_is_reference_golden(tmp_path):
+    """The vertex property ORDER must match the reference bit-layout
+    (scene/gaussian_model.py:272-287 construct_list_of_attributes) so
+    checkpoints interchange with the CUDA implementation byte-for-byte."""
+    import numpy as np
+
+    from vcr_gaus_tpu.models import gaussians as GM
+    from vcr_gaus_tpu.models.ply_io import save_gaussian_ply
+
+    rng = np.random.default_rng(0)
+    pts = rng.normal(size=(5, 3)).astype(np.float32)
+    cols = rng.uniform(0, 1, (5, 3)).astype(np.float32)
+    for sh_degree, ch_sem in ((3, 0), (2, 4)):
+        st = GM.create_from_pcd(pts, cols, 8, sh_degree=sh_degree,
+                                ch_sem=ch_sem)
+        path = str(tmp_path / f"g{sh_degree}_{ch_sem}.ply")
+        save_gaussian_ply(st, path)
+        props = []
+        with open(path, "rb") as f:
+            for line in f:
+                if line.strip() == b"end_header":
+                    break
+                if line.startswith(b"property"):
+                    parts = line.decode().split()
+                    assert parts[1] == "float"
+                    props.append(parts[2])
+        k_rest = 3 * ((sh_degree + 1) ** 2 - 1)
+        golden = (["x", "y", "z", "nx", "ny", "nz"]
+                  + [f"f_dc_{i}" for i in range(3)]
+                  + [f"f_rest_{i}" for i in range(k_rest)]
+                  + ["opacity"]
+                  + [f"scale_{i}" for i in range(3)]
+                  + [f"rot_{i}" for i in range(4)]
+                  + [f"obj_dc_{i}" for i in range(ch_sem)])
+        assert props == golden, (props, golden)
