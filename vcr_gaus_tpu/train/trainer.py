@@ -371,6 +371,10 @@ class Trainer:
             info.train_cameras + info.test_cameras)]
         with open(os.path.join(cfg.logdir, "cameras.json"), "w") as f:
             json.dump(cams_json, f)
+        # legacy 3DGS `cfg_args` Namespace dump (trainer.py:178-179) so
+        # upstream-style tooling (arguments.get_combined_args) can locate runs
+        from ..compat.arguments import write_cfg_args
+        write_cfg_args(cfg, cfg.logdir)
 
         self.test_history: list[dict] = []
         self._prefetched = None
