@@ -125,6 +125,51 @@ def test_backward_matches_oracle_autodiff(depth_mode):
     np.testing.assert_allclose(g_pallas, g_ref, atol=2e-3 * scale, rtol=2e-3)
 
 
+def test_backward_clamped_denominator_no_grad_leak():
+    """Near-tangent splat planes hit the |ray.normal| >= 1e-2 clamp; the
+    backward must treat the clamped denominator as a constant (autodiff
+    semantics) instead of leaking a 1/denom^2-amplified normal gradient
+    (regression: spurious quat grads ~1e3x too large on such scenes)."""
+    feats, radius, cam = make_scene(n=40, seed=7)
+    # rotate normals near-perpendicular to the optical axis so many pixels
+    # clamp: n = (nx, ny, eps) with |eps| tiny
+    f = np.asarray(feats).copy()
+    rng = np.random.default_rng(8)
+    nxy = rng.normal(size=(f.shape[0], 2))
+    nxy /= np.linalg.norm(nxy, axis=1, keepdims=True)
+    f[:, PF.F_NORMAL:PF.F_NORMAL + 2] = nxy
+    f[:, PF.F_NORMAL + 2] = rng.uniform(-5e-3, 5e-3, f.shape[0])
+    depth = f[:, PF.F_DEPTH_Z]
+    mean_cam = np.stack([rng.normal(size=f.shape[0]),
+                         rng.normal(size=f.shape[0]), depth], 1)
+    f[:, PF.F_PLANE_D] = np.sum(
+        f[:, PF.F_NORMAL:PF.F_NORMAL + 3] * mean_cam, 1)
+    feats = jnp.asarray(f)
+    depth_z = feats[:, PF.F_DEPTH_Z]
+    mean2d = feats[:, [PF.F_MEAN_X, PF.F_MEAN_Y]]
+    order = REF.depth_order(depth_z, radius)
+    g_img = jnp.asarray(rng.normal(size=(9 + CH_SEM, H, W)).astype(np.float32))
+
+    def loss_pallas(f):
+        out, _ = R.rasterize_image(f, jnp.zeros((f.shape[0], 2)), mean2d,
+                                   radius, depth_z, jnp.asarray(cam), W, H,
+                                   CH_SEM, "intersection", entry_budget=4096)
+        return jnp.sum(out * g_img)
+
+    def loss_ref(f):
+        out = REF.composite_reference(
+            f, order, H, W, jnp.asarray(cam[4:7]), CH_SEM,
+            depth_mode="intersection", cam_k=jnp.asarray(cam[:4]))
+        return jnp.sum(out * g_img)
+
+    g_pallas = np.asarray(jax.grad(loss_pallas)(feats))
+    g_ref = np.asarray(jax.grad(loss_ref)(feats))
+    gn_p = g_pallas[:, PF.F_NORMAL:PF.F_NORMAL + 3]
+    gn_r = g_ref[:, PF.F_NORMAL:PF.F_NORMAL + 3]
+    scale = max(np.abs(gn_r).max(), 1e-6)
+    np.testing.assert_allclose(gn_p, gn_r, atol=5e-3 * scale, rtol=5e-3)
+
+
 def test_densify_dummy_grad_is_abs_accumulation():
     feats, radius, cam = make_scene(n=30, seed=2, ch_sem=0)
     depth_z = feats[:, PF.F_DEPTH_Z]

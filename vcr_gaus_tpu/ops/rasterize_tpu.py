@@ -157,11 +157,13 @@ def _depth_chunk(f, px, py, cam, depth_mode: str):
     nx = f[PF.F_NORMAL:PF.F_NORMAL + 1, :]
     ny = f[PF.F_NORMAL + 1:PF.F_NORMAL + 2, :]
     nz = f[PF.F_NORMAL + 2:PF.F_NORMAL + 3, :]
-    denom = dirx * nx + diry * ny + dirz * nz         # (P,G)
-    denom = jnp.where(jnp.abs(denom) < 1e-2,
-                      jnp.where(denom < 0, -1e-2, 1e-2), denom)
+    denom_raw = dirx * nx + diry * ny + dirz * nz     # (P,G)
+    clamped = jnp.abs(denom_raw) < 1e-2
+    denom = jnp.where(clamped,
+                      jnp.where(denom_raw < 0, -1e-2, 1e-2), denom_raw)
     d = f[PF.F_PLANE_D:PF.F_PLANE_D + 1, :] / denom
-    return d, dict(denom=denom, dirx=dirx, diry=diry, dirz=dirz)
+    return d, dict(denom=denom, clamped=clamped,
+                   dirx=dirx, diry=diry, dirz=dirz)
 
 
 def _transmittance(alpha, ut):
@@ -446,8 +448,14 @@ def _bwd_kernel(starts_ref, counts_ref, cam_ref, feats_ref, gout_ref,
                 denom = dex["denom"]
                 inv_den = 1.0 / denom
                 g_pd = jnp.sum(gd_pg * inv_den, axis=0, keepdims=True)
-                coef = (gd_pg * (-f[PF.F_PLANE_D:PF.F_PLANE_D + 1, :])
-                        * inv_den * inv_den)
+                # where the |ray.normal| >= 1e-2 clamp was active the
+                # denominator is a constant: no gradient flows to the normal
+                # (matches autodiff of the clamp; an unguarded 1/denom^2
+                # would amplify by up to 1e4)
+                coef = jnp.where(
+                    dex["clamped"], 0.0,
+                    gd_pg * (-f[PF.F_PLANE_D:PF.F_PLANE_D + 1, :])
+                    * inv_den * inv_den)
                 g_n = jnp.concatenate(
                     [jnp.sum(coef * dex["dirx"], axis=0, keepdims=True),
                      jnp.sum(coef * dex["diry"], axis=0, keepdims=True),
