@@ -50,6 +50,35 @@ def test_ascii_ply(tmp_path):
     np.testing.assert_allclose(d["z"], [2, 5])
 
 
+def test_splat_export_format(tmp_path):
+    """antimatter15 .splat: 32 bytes/gaussian, importance-descending order,
+    decodable positions/scales/rgba/quat."""
+    import numpy as np
+
+    from vcr_gaus_tpu.models import gaussians as GM
+    from vcr_gaus_tpu.models.ply_io import save_splat
+
+    rng = np.random.default_rng(1)
+    n = 7
+    pts = rng.normal(size=(n, 3)).astype(np.float32)
+    cols = rng.uniform(0, 1, (n, 3)).astype(np.float32)
+    st = GM.create_from_pcd(pts, cols, 16, sh_degree=3)
+    path = str(tmp_path / "pcd.splat")
+    save_splat(st, path)
+    raw = np.fromfile(path, np.uint8).reshape(n, 32)
+    xyz = raw[:, 0:12].copy().view(np.float32).reshape(n, 3)
+    scale = raw[:, 12:24].copy().view(np.float32).reshape(n, 3)
+    # every stored position is one of the inputs (order is by importance)
+    for row in xyz:
+        assert np.min(np.linalg.norm(pts - row, axis=1)) < 1e-6
+    assert (scale > 0).all()
+    opacity = raw[:, 27].astype(np.float32) / 255.0
+    imp = scale.prod(axis=1) * opacity
+    assert np.all(np.diff(imp) <= 1e-6), "not importance-sorted"
+    q = (raw[:, 28:32].astype(np.float32) - 128.0) / 128.0
+    assert np.abs(np.linalg.norm(q, axis=1) - 1.0).max() < 0.05
+
+
 def test_gaussian_ply_header_is_reference_golden(tmp_path):
     """The vertex property ORDER must match the reference bit-layout
     (scene/gaussian_model.py:272-287 construct_list_of_attributes) so

@@ -746,6 +746,8 @@ class Trainer:
         ply_io.save_inside_ply(
             self.state, os.path.join(out, "point_cloud_inside.ply"),
             np.asarray(inside))
+        if bool(getattr(self.cfg.train, "save_splat", False)):
+            ply_io.save_splat(self.state, os.path.join(out, "pcd.splat"))
         # side networks next to the PLY (the reference's model.pth,
         # gaussian_model.py:313-320)
         side = {}
