@@ -1,0 +1,84 @@
+#!/usr/bin/env python
+"""Hardware end-to-end check: synthetic COLMAP scene -> train -> mesh ->
+NVS metrics, chained through the real CLIs on the current default backend
+(the real TPU chip under axon; CPU elsewhere).
+
+The CPU test suite covers the same chain in interpreter mode
+(tests/test_cli_pipeline.py); this script is the on-chip version with a
+schedule long enough to prove convergence (densification on, ~1k iters).
+
+  python scripts/tpu_e2e.py [--workdir /tmp/vcr_e2e] [--iters 1000]
+
+Asserts: training PSNR > 20 dB, mesh has > 5k vertices, eval PSNR > 20 dB.
+"""
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "tests"))
+
+
+def run(cmd):
+    print("+", " ".join(cmd), flush=True)
+    r = subprocess.run(cmd, cwd=REPO)
+    assert r.returncode == 0, f"stage failed: {cmd}"
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--workdir", default="/tmp/vcr_e2e")
+    ap.add_argument("--iters", type=int, default=1000)
+    args = ap.parse_args()
+
+    scene = os.path.join(args.workdir, "scene")
+    logdir = os.path.join(args.workdir, "run")
+    shutil.rmtree(args.workdir, ignore_errors=True)
+
+    from fixtures import write_colmap_scene
+    write_colmap_scene(scene, n_cams=12, n_pts=800, width=128, height=96,
+                       with_priors=True)
+    print("scene written", flush=True)
+
+    py = sys.executable
+    it = args.iters
+    run([py, "train.py", "--config=configs/config_base.yaml",
+         f"--model.source_path={scene}", f"--logdir={logdir}",
+         "--model.depth_type=intersection",
+         f"--optim.iterations={it}",
+         "--optim.densify_from_iter=300",
+         f"--optim.densify_until_iter={max(400, it - 200)}",
+         "--optim.densification_interval=100",
+         "--tpu.capacity=8192",
+         f"--train.save_iterations=[{it}]",
+         f"--train.checkpoint_iterations=[{it}]",
+         f"--train.test_iterations=[{it // 2},{it}]"])
+    ply = os.path.join(logdir, "point_cloud", f"iteration_{it}",
+                       "point_cloud.ply")
+    assert os.path.exists(ply), "check_finish: PLY missing"
+
+    run([py, "depth2mesh.py", f"--cfg_path={logdir}/config.yaml",
+         "--voxel_size=0.05", "--max_depth=8"])
+    from vcr_gaus_tpu.utils.ply import read_ply
+    mesh = read_ply(os.path.join(logdir, "ours.ply"))
+    n_verts = len(mesh["x"])
+    assert n_verts > 5000, f"mesh too small: {n_verts} verts"
+
+    run([py, "render_eval.py", f"--cfg_path={logdir}/config.yaml"])
+    results = None
+    for root, _, files in os.walk(logdir):
+        if "results.json" in files:
+            results = json.load(open(os.path.join(root, "results.json")))
+    assert results is not None, "results.json missing"
+    psnr = results["PSNR"]
+    print(f"e2e OK: mesh {n_verts} verts, eval PSNR {psnr:.2f} dB")
+    assert psnr > 20, f"eval PSNR too low: {psnr}"
+
+
+if __name__ == "__main__":
+    main()
