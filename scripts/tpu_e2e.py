@@ -69,6 +69,24 @@ def main():
     n_verts = len(mesh["x"])
     assert n_verts > 5000, f"mesh too small: {n_verts} verts"
 
+    # geometry: bidirectional Chamfer of the extracted mesh against the
+    # fixture's known cube surface (the scene's GT), through the same
+    # nn_distances machinery the DTU protocol uses
+    import numpy as np
+    from fixtures import make_cube_points
+    from vcr_gaus_tpu.evaluation import geometry as GE
+    gt_pts, _ = make_cube_points(4000, seed=0)
+    mesh_pts = np.stack([mesh["x"], mesh["y"], mesh["z"]], 1)
+    d2s = GE.nn_distances(mesh_pts, gt_pts).mean()
+    s2d = GE.nn_distances(gt_pts, mesh_pts).mean()
+    chamfer = 0.5 * (d2s + s2d)
+    print(f"chamfer vs GT cube: {chamfer:.4f} (d2s {d2s:.4f} s2d {s2d:.4f})")
+    # smoke gate, not a benchmark: accuracy (mesh->GT) must be within a few
+    # splat radii; completeness is loose — 12 ring cameras barely see the
+    # cube's top/bottom faces (known-good 1k-iter run: d2s 0.16, s2d 0.61)
+    assert d2s < 0.3, f"mesh accuracy off: d2s {d2s}"
+    assert s2d < 1.0, f"mesh completeness off: s2d {s2d}"
+
     run([py, "render_eval.py", f"--cfg_path={logdir}/config.yaml"])
     results = None
     for root, _, files in os.walk(logdir):
@@ -76,7 +94,8 @@ def main():
             results = json.load(open(os.path.join(root, "results.json")))
     assert results is not None, "results.json missing"
     psnr = results["PSNR"]
-    print(f"e2e OK: mesh {n_verts} verts, eval PSNR {psnr:.2f} dB")
+    print(f"e2e OK: mesh {n_verts} verts, chamfer {chamfer:.4f}, "
+          f"eval PSNR {psnr:.2f} dB")
     assert psnr > 20, f"eval PSNR too low: {psnr}"
 
 
