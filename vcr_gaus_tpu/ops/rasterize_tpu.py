@@ -186,6 +186,7 @@ def _fwd_kernel(starts_ref, counts_ref, cam_ref, feats_ref, out_ref, buf,
                 acc_ref, kref, sems, *, ch_sem: int, depth_mode: str,
                 n_tx: int):
     t = pl.program_id(0)
+    nt = pl.num_programs(0)
     start = pl.multiple_of(starts_ref[t], ALIGN)   # aligned tile region start
     n = counts_ref[t]
     nchunks = (n + G - 1) // G
@@ -201,9 +202,29 @@ def _fwd_kernel(starts_ref, counts_ref, cam_ref, feats_ref, out_ref, buf,
             feats_ref.at[:, pl.ds(start + k * G, G)], buf.at[slot],
             sems.at[slot])
 
-    @pl.when(nchunks > 0)
+    # Cross-tile chunk-0 streaming: at 1-2 chunks/tile (the steady-state
+    # densified scene) an in-tile double buffer leaves every tile's first
+    # DMA latency exposed (~2.2us/tile measured = the dominant kernel cost).
+    # Tile t's chunk 0 lives in slot 2+(t%2), prefetched by the PREVIOUS
+    # grid step (the parity alternation keeps the prefetch from overwriting
+    # the chunk being composited); chunks 1.. run the classic in-tile double
+    # buffer on slots 0/1. Every tile — empty ones included — waits its
+    # chunk-0 prefetch exactly once and issues exactly one for the next
+    # tile, keeping each DMA semaphore paired. The binning layout guarantees
+    # reads stay in-bounds for any tile (sentinel slack block,
+    # binning.aligned_budget).
+    s0 = 2 + (t % 2)
+    @pl.when(t == 0)
     def _():
-        get_dma(0, 0).start()
+        get_dma(s0, 0).start()
+    get_dma(s0, 0).wait()
+
+    @pl.when(t + 1 < nt)
+    def _():
+        nstart = pl.multiple_of(starts_ref[t + 1], ALIGN)
+        pltpu.make_async_copy(
+            feats_ref.at[:, pl.ds(nstart, G)], buf.at[2 + ((t + 1) % 2)],
+            sems.at[2 + ((t + 1) % 2)]).start()
 
     # accumulators live in VMEM scratch so the early-termination guard is a
     # pure pl.when (a lax.cond carry would copy every accumulator per chunk)
@@ -214,13 +235,15 @@ def _fwd_kernel(starts_ref, counts_ref, cam_ref, feats_ref, out_ref, buf,
     kref[0] = 0
 
     def body(k, _):
-        slot = k % 2
+        slot = jnp.where(k == 0, s0, (k - 1) % 2)
 
         @pl.when(k + 1 < nchunks)
         def _():
-            get_dma((k + 1) % 2, k + 1).start()
+            get_dma(k % 2, k + 1).start()
 
-        get_dma(slot, k).wait()
+        @pl.when(k > 0)
+        def _():
+            get_dma(slot, k).wait()
         t_carry = acc_ref[:, 0:1]
 
         @pl.when(jnp.max(t_carry) >= T_EPS)
@@ -287,10 +310,10 @@ def rasterize_forward(feats_t: jnp.ndarray, tile_starts: jnp.ndarray,
         out_specs=pl.BlockSpec((1, P, c_pad), lambda t, *_: (t, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, feats_t.shape[0], G), jnp.float32),
+            pltpu.VMEM((4, feats_t.shape[0], G), jnp.float32),
             pltpu.VMEM((P, 4 + 6 + ch_sem), jnp.float32),
             pltpu.SMEM((1,), jnp.int32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((4,)),
         ],
     )
     kernel = functools.partial(_fwd_kernel, ch_sem=ch_sem,
@@ -308,9 +331,10 @@ def rasterize_forward(feats_t: jnp.ndarray, tile_starts: jnp.ndarray,
 # ---------------------------------------------------------------------------
 
 def _bwd_kernel(starts_ref, counts_ref, cam_ref, feats_ref, gout_ref,
-                out_ref_fwd, gfeat_ref, buf, gbuf, carr_ref, sems, wsem,
-                *, ch_sem: int, depth_mode: str, n_tx: int):
+                out_ref_fwd, gfeat_ref, buf, gbuf, carr_ref, pend_ref, sems,
+                wsem, *, ch_sem: int, depth_mode: str, n_tx: int):
     t = pl.program_id(0)
+    nt = pl.num_programs(0)
     start = pl.multiple_of(starts_ref[t], ALIGN)   # aligned tile region start
     n = counts_ref[t]
     nchunks = (n + G - 1) // G
@@ -353,9 +377,29 @@ def _bwd_kernel(starts_ref, counts_ref, cam_ref, feats_ref, gout_ref,
     # trans_excl[g] = exp(logT_final - sum_{j>=g} log(1-alpha_j)), with the
     # suffix split into the in-chunk part (lower-triangular matmul) and the
     # across-chunk carry. This replaces the two-pass (totals + prefix) walk.
-    @pl.when(nchunks > 0)
+    #
+    # Cross-tile streaming (mirror of the forward, see _fwd_kernel): the
+    # reverse walk starts at the LAST chunk, which slot 2+(t%2) holds,
+    # prefetched by the previous grid step; write-back DMAs are drained
+    # lazily — a persistent pend flag per slot defers the wait to the next
+    # overwrite (possibly in the next tile's step) instead of stalling at
+    # every tile's end; the final grid step drains both.
+    s0 = 2 + (t % 2)
+
+    @pl.when(t == 0)
     def _():
-        get_dma(0, nchunks - 1).start()
+        pend_ref[0] = 0
+        pend_ref[1] = 0
+        get_dma(s0, jnp.maximum(nchunks - 1, 0)).start()
+    get_dma(s0, jnp.maximum(nchunks - 1, 0)).wait()
+
+    @pl.when(t + 1 < nt)
+    def _():
+        nstart = pl.multiple_of(starts_ref[t + 1], ALIGN)
+        nlast = jnp.maximum((counts_ref[t + 1] + G - 1) // G - 1, 0)
+        pltpu.make_async_copy(
+            feats_ref.at[:, pl.ds(nstart + nlast * G, G)],
+            buf.at[2 + ((t + 1) % 2)], sems.at[2 + ((t + 1) % 2)]).start()
 
     # reverse-walk carries [log_r, suffix_u] in VMEM scratch so the
     # early-termination guard is a pure pl.when (no lax.cond carry copies)
@@ -363,23 +407,26 @@ def _bwd_kernel(starts_ref, counts_ref, cam_ref, feats_ref, gout_ref,
 
     def body2(i, _):
         k = nchunks - 1 - i
-        slot = i % 2
+        slot = jnp.where(i == 0, s0, (i - 1) % 2)
 
         @pl.when(i + 1 < nchunks)
         def _():
-            get_dma((i + 1) % 2, k - 1).start()
+            get_dma(i % 2, k - 1).start()
 
-        get_dma(slot, k).wait()
+        @pl.when(i > 0)
+        def _():
+            get_dma(slot, k).wait()
         nfeat = PF.feature_dim(ch_sem)
         grows = gbuf.shape[1]
 
         wslot = i % 2
-        # wait previous write on this slot before overwriting the buffer
-        @pl.when(i >= 2)
+        # lazily drain the previous write on this slot (this tile's i-2, or
+        # the previous tile's tail) before overwriting the buffer
+        @pl.when(pend_ref[wslot] == 1)
         def _():
             pltpu.make_async_copy(
                 gbuf.at[wslot],
-                gfeat_ref.at[:, pl.ds(start + (k + 2) * G, G)],
+                gfeat_ref.at[:, pl.ds(start + k * G, G)],  # size-alike only
                 wsem.at[wslot]).wait()
 
         @pl.when(k >= k_lim)
@@ -486,22 +533,21 @@ def _bwd_kernel(starts_ref, counts_ref, cam_ref, feats_ref, gout_ref,
         pltpu.make_async_copy(
             gbuf.at[wslot], gfeat_ref.at[:, pl.ds(start + k * G, G)],
             wsem.at[wslot]).start()
+        pend_ref[wslot] = 1
 
         return 0
 
     jax.lax.fori_loop(0, nchunks, body2, 0)
 
-    # drain outstanding write DMAs (up to two; chunks 0 and 1 were last)
-    def drain(k):
-        @pl.when((k >= 0) & (k < nchunks))
-        def _():
-            pltpu.make_async_copy(
-                gbuf.at[(nchunks - 1 - k) % 2],
-                gfeat_ref.at[:, pl.ds(start + k * G, G)],
-                wsem.at[(nchunks - 1 - k) % 2]).wait()
-
-    drain(0)
-    drain(1)
+    # last grid step: drain whatever writes are still in flight
+    @pl.when(t + 1 >= nt)
+    def _():
+        for s in (0, 1):
+            @pl.when(pend_ref[s] == 1)
+            def _(s=s):
+                pltpu.make_async_copy(
+                    gbuf.at[s], gfeat_ref.at[:, pl.ds(start, G)],
+                    wsem.at[s]).wait()
 
 
 def rasterize_backward(feats_t, tile_starts, tile_counts, cam, gout_tiles,
@@ -525,10 +571,11 @@ def rasterize_backward(feats_t, tile_starts, tile_counts, cam, gout_tiles,
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
-            pltpu.VMEM((2, f_pad, G), jnp.float32),
+            pltpu.VMEM((4, f_pad, G), jnp.float32),
             pltpu.VMEM((2, f_pad, G), jnp.float32),
             pltpu.VMEM((P, 2), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SMEM((2,), jnp.int32),
+            pltpu.SemaphoreType.DMA((4,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
