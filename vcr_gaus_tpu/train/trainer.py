@@ -611,6 +611,13 @@ class Trainer:
             for split, v in res.items():
                 self._tb.scalar(f"eval/{split}_psnr", v["psnr"],
                                 self.iteration)
+            # opacity histogram over the active population (the reference's
+            # log_hist, trainer.py:496-502,583)
+            if hasattr(self._tb, "histogram"):
+                act = np.asarray(self.state.active)
+                op = np.asarray(self.state.opacity[:, 0])[act]
+                self._tb.histogram("scene/opacity_histogram", op,
+                                   self.iteration)
         self.test_history.append({"iter": self.iteration, **res})
         return res
 
@@ -803,6 +810,11 @@ class _TB:
             import tensorflow as tf
             tf.summary.scalar(tag, value, step=step)
 
+    def histogram(self, tag, values, step):
+        with self._w.as_default():
+            import tensorflow as tf
+            tf.summary.histogram(tag, values, step=step)
+
 
 class _Wandb:
     """wandb scalar writer with run naming + wandb_id.txt resume, matching
@@ -828,6 +840,10 @@ class _Wandb:
 
     def scalar(self, tag, value, step):
         self._wandb.log({tag: value}, step=step)
+
+    def histogram(self, tag, values, step):
+        self._wandb.log({tag: self._wandb.Histogram(np.asarray(values))},
+                        step=step)
 
 
 def _make_tb_writer(logdir: str):
@@ -856,6 +872,11 @@ def _make_tb_writer(logdir: str):
         def scalar(self, tag, value, step):
             for w in writers:
                 w.scalar(tag, value, step)
+
+        def histogram(self, tag, values, step):
+            for w in writers:
+                if hasattr(w, "histogram"):
+                    w.histogram(tag, values, step)
     return _Multi()
 
 
