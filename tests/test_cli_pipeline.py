@@ -35,6 +35,7 @@ def run_cli(script, *args):
     return r.stdout
 
 
+@pytest.mark.xdist_group("subprocess")
 def test_cli_pipeline(pipeline_dirs):
     scene, logdir = pipeline_dirs
 

@@ -111,6 +111,7 @@ def test_compute_meta_box_covers_points(tmp_path):
     assert np.prod(scale) < np.prod(np.abs(aligned).max(0)) * 0.9
 
 
+@pytest.mark.xdist_group("subprocess")
 def test_extract_priors_depth_and_allfg(tmp_path):
     from PIL import Image
     src = tmp_path / "scene"
