@@ -44,11 +44,16 @@ def scene_jobs(args):
     return jobs
 
 
-def run(cmd, dry):
+def run(cmd, dry, failures=None):
     print("+", " ".join(cmd), flush=True)
     if dry:
         return 0
-    return subprocess.run(cmd, cwd=REPO).returncode
+    rc = subprocess.run(cmd, cwd=REPO).returncode
+    if rc != 0:
+        print(f"!! stage failed rc={rc}: {' '.join(cmd)}", flush=True)
+        if failures is not None:
+            failures.append({"cmd": cmd, "returncode": rc})
+    return rc
 
 
 def main(argv=None):
@@ -70,6 +75,7 @@ def main(argv=None):
                          "rendering are skipped")
     py = sys.executable
     jobs = scene_jobs(args)
+    failures: list = []
 
     if not args.skip_training:
         for scene, src, config, res in jobs:
@@ -79,7 +85,7 @@ def main(argv=None):
                    "--model.eval"]
             if res > 0:
                 cmd.append(f"--model.resolution={res}")
-            run(cmd, args.dry)
+            run(cmd, args.dry, failures)
 
     if not args.skip_rendering:
         for scene, _, _, _ in jobs:
@@ -87,7 +93,8 @@ def main(argv=None):
             for iteration in (7000, 30000):
                 run([py, "render_eval.py",
                      f"--cfg_path={logdir}/config.yaml",
-                     f"--iteration={iteration}", "--skip_train"], args.dry)
+                     f"--iteration={iteration}", "--skip_train"],
+                    args.dry, failures)
 
     if not args.skip_metrics and not args.dry:
         results = {}
@@ -98,6 +105,12 @@ def main(argv=None):
                     results[scene] = json.load(f)
         print(json.dumps(results, indent=2))
 
+    if failures:
+        print(f"!! {len(failures)} stage(s) failed:", flush=True)
+        for f in failures:
+            print(f"   rc={f['returncode']}: {' '.join(f['cmd'])}",
+                  flush=True)
+        return 1
     return 0
 
 

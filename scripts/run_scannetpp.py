@@ -36,22 +36,38 @@ def stage_cmds(py, scene, src, logdir, iterations=None):
     return [train, mesh, eval_]
 
 
-def run_scene(py, scene, src, logdir, iterations, env, dry):
-    for cmd in stage_cmds(py, scene, src, logdir, iterations):
-        print(f"[{scene}] +", " ".join(cmd), flush=True)
-        if dry:
-            continue
-        r = subprocess.run(cmd, cwd=REPO, env=env)
-        if r.returncode != 0:
-            print(f"[{scene}] stage failed ({r.returncode}); aborting scene",
-                  flush=True)
-            return False
-        # check_finish gates (run_base.py:46-50)
-        if cmd[1] == "train.py" and not os.path.isdir(
-                os.path.join(logdir, "point_cloud")):
-            print(f"[{scene}] check_finish: no point_cloud/", flush=True)
-            return False
-    return True
+def run_scene(py, scene, src, logdir, iterations, dry, chip_pool=None):
+    """Run one scene's stages, holding a chip from the pool for the whole
+    scene. Chips are acquired dynamically (not pinned by scene index):
+    with static `i % parallel` pinning, a freed executor thread could pick
+    up scene i+parallel while scene i still runs, co-scheduling two JAX
+    subprocesses on one chip."""
+    env = dict(os.environ)
+    chip = None
+    if chip_pool is not None:
+        chip = chip_pool.get()
+        # both spellings; the active TPU runtime picks up whichever it honors
+        env["TPU_VISIBLE_CHIPS"] = str(chip)
+        env["TPU_VISIBLE_DEVICES"] = str(chip)
+    try:
+        for cmd in stage_cmds(py, scene, src, logdir, iterations):
+            print(f"[{scene}] +", " ".join(cmd), flush=True)
+            if dry:
+                continue
+            r = subprocess.run(cmd, cwd=REPO, env=env)
+            if r.returncode != 0:
+                print(f"[{scene}] stage failed ({r.returncode}); "
+                      "aborting scene", flush=True)
+                return False
+            # check_finish gates (run_base.py:46-50)
+            if cmd[1] == "train.py" and not os.path.isdir(
+                    os.path.join(logdir, "point_cloud")):
+                print(f"[{scene}] check_finish: no point_cloud/", flush=True)
+                return False
+        return True
+    finally:
+        if chip_pool is not None:
+            chip_pool.put(chip)
 
 
 def main():
@@ -71,32 +87,26 @@ def main():
         if os.path.isdir(os.path.join(args.data_root, d)))
     py = sys.executable
 
-    jobs = []
-    for i, scene in enumerate(scenes):
-        src = os.path.join(args.data_root, scene)
-        logdir = os.path.join(args.out, scene)
-        env = dict(os.environ)
-        if args.parallel > 1:
-            # pin the worker to one chip (both spellings; the active TPU
-            # runtime picks up whichever it honors)
-            chip = i % args.parallel
-            env["TPU_VISIBLE_CHIPS"] = str(chip)
-            env["TPU_VISIBLE_DEVICES"] = str(chip)
-        jobs.append((scene, src, logdir, env))
+    jobs = [(scene, os.path.join(args.data_root, scene),
+             os.path.join(args.out, scene)) for scene in scenes]
 
     if args.parallel > 1 and not args.dry:
+        import queue
         from concurrent.futures import ThreadPoolExecutor
+        chip_pool: queue.Queue = queue.Queue()
+        for chip in range(args.parallel):
+            chip_pool.put(chip)
         with ThreadPoolExecutor(max_workers=args.parallel) as ex:
             futs = {ex.submit(run_scene, py, s, src, ld, args.iterations,
-                              env, args.dry): s
-                    for s, src, ld, env in jobs}
+                              args.dry, chip_pool): s
+                    for s, src, ld in jobs}
             ok = {futs[f]: f.result() for f in futs}
     else:
-        ok = {s: run_scene(py, s, src, ld, args.iterations, env, args.dry)
-              for s, src, ld, env in jobs}
+        ok = {s: run_scene(py, s, src, ld, args.iterations, args.dry)
+              for s, src, ld in jobs}
 
     results = {}
-    for scene, _, logdir, _ in jobs:
+    for scene, _, logdir in jobs:
         for root, _, files in os.walk(logdir):
             if "results.json" in files:
                 with open(os.path.join(root, "results.json")) as f:

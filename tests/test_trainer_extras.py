@@ -159,3 +159,42 @@ def test_gui_pump_serves_frames(tmp_path):
     t.join(timeout=10)
     assert results.get("img_bytes") == W * H * 3
     assert results.get("verify") == root
+
+    # pause semantics: a `train: false` message must block training across
+    # poll()==None gaps (the reference's blocking receive()), resuming only
+    # on train=true or disconnect — not whenever the socket is idle.
+    from vcr_gaus_tpu.render.network_gui import ViewerRequest
+
+    class ScriptedGUI:
+        def __init__(self, script):
+            self.script = list(script)
+            self.conn = object()      # pretend connected
+            self.polls = 0
+
+        def poll(self):
+            self.polls += 1
+            return self.script.pop(0) if self.script else None
+
+        def send_image(self, img, verify):
+            pass
+
+    pause = ViewerRequest(camera=None, do_training=False, keep_alive=True)
+    resume = ViewerRequest(camera=None, do_training=True, keep_alive=True)
+    gui = ScriptedGUI([pause, None, None, None, resume])
+    tr._gui = gui
+    tr._gui_pump()                    # must consume through the resume
+    assert not gui.script, "pump returned while still paused"
+    assert tr._gui_paused is False
+
+    # and a dropped connection while paused releases the pump
+    gui2 = ScriptedGUI([pause, None])
+    tr._gui = gui2
+    orig_poll = gui2.poll
+
+    def poll_then_drop():
+        r = orig_poll()
+        if r is None:
+            gui2.conn = None          # simulate viewer disconnect
+        return r
+    gui2.poll = poll_then_drop
+    tr._gui_pump()                    # returns instead of spinning forever

@@ -387,6 +387,7 @@ class Trainer:
         # remote viewer bridge (cfg.port > 0, trainer.py:64-65; unlike the
         # reference — which only wires init — the pump runs, see _gui_pump)
         self._gui = None
+        self._gui_paused = False
         self._gui_render_cache: dict = {}
         if int(getattr(cfg, "port", -1) or -1) > 0:
             from ..render.network_gui import NetworkGUI
@@ -559,7 +560,15 @@ class Trainer:
         while True:
             req = self._gui.poll()
             if req is None:
-                return
+                # A `train: false` message pauses training until the viewer
+                # sends train=true or disconnects — poll()==None between
+                # viewer frames must NOT silently resume (blocking-receive
+                # semantics of the reference's network_gui.receive()).
+                if not self._gui_paused or self._gui.conn is None:
+                    return
+                time.sleep(0.01)
+                continue
+            self._gui_paused = not req.do_training and req.keep_alive
             if req.camera is not None:
                 h, w = req.camera.image.shape[1], req.camera.image.shape[2]
                 fn = self._gui_render_cache.get((w, h))
