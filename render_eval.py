@@ -18,7 +18,12 @@ def main():
     ap.add_argument("--iteration", type=int, default=-1)
     ap.add_argument("--skip_train", action="store_true")
     ap.add_argument("--skip_test", action="store_true")
+    ap.add_argument("--lpips_weights", default=None,
+                    help="combined LPIPS npz from scripts/convert_lpips.py"
+                         " (default: $LPIPS_WEIGHTS); adds the LPIPS column")
     args, overrides = ap.parse_known_args()
+    if args.lpips_weights:
+        os.environ["LPIPS_WEIGHTS"] = args.lpips_weights
 
     import numpy as np
 

@@ -1,10 +1,14 @@
 """Geometry + NVS evaluators on analytic shapes."""
 
+import os
+
 import numpy as np
 import pytest
 
 from vcr_gaus_tpu.evaluation import geometry as GE
 from vcr_gaus_tpu.evaluation import nvs
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def sphere_mesh(r=1.0, n=24):
@@ -145,3 +149,52 @@ def test_lpips_jax_with_synthetic_weights(tmp_path):
 
     assert LPIPS.maybe(None, None) is None
     assert LPIPS.maybe("/nonexistent", str(tmp_path / "lin.npz")) is None
+
+    # converter: torch .pth pair -> one combined npz -> same distances,
+    # and the metrics sweep grows the LPIPS column when $LPIPS_WEIGHTS set
+    import sys
+    sys.path.insert(0, os.path.join(REPO, "scripts"))
+    import convert_lpips
+    torch.save({k: torch.from_numpy(np.asarray(v)) for k, v in lin.items()},
+               tmp_path / "lin.pth")
+    combined = str(tmp_path / "lpips_vgg.npz")
+    convert_lpips.convert(str(tmp_path / "vgg.pth"),
+                          str(tmp_path / "lin.pth"), combined)
+    lp3 = LPIPS(combined)                      # single-file form
+    np.testing.assert_allclose(lp3(a, b), dab, rtol=1e-5)
+
+    from PIL import Image
+    out_dir = tmp_path / "sweep"
+    for sub in ("renders", "gt"):
+        os.makedirs(out_dir / sub)
+    for i in range(2):
+        for sub, arr in (("renders", a), ("gt", b)):
+            Image.fromarray((arr.transpose(1, 2, 0) * 255).astype(
+                np.uint8)).save(out_dir / sub / f"{i:05d}.png")
+    old = os.environ.get("LPIPS_WEIGHTS")
+    os.environ["LPIPS_WEIGHTS"] = combined
+    try:
+        results = nvs.evaluate_dir(str(out_dir))
+    finally:
+        if old is None:
+            os.environ.pop("LPIPS_WEIGHTS", None)
+        else:
+            os.environ["LPIPS_WEIGHTS"] = old
+    assert "LPIPS" in results and results["LPIPS"] > 1e-4
+
+
+@pytest.mark.skipif(not os.environ.get("LPIPS_WEIGHTS"),
+                    reason="real LPIPS weights not provided")
+def test_lpips_real_weights_sanity():
+    """When real converted weights are supplied ($LPIPS_WEIGHTS), the score
+    of a noisy pair lands in the published LPIPS(vgg) ballpark."""
+    from vcr_gaus_tpu.evaluation.lpips_jax import LPIPS
+    lp = LPIPS.from_env()
+    assert lp is not None
+    rng = np.random.default_rng(0)
+    img = rng.uniform(0, 1, (3, 128, 128)).astype(np.float32)
+    assert abs(lp(img, img)) < 1e-6
+    noisy = np.clip(img + rng.normal(0, 0.1, img.shape), 0, 1).astype(
+        np.float32)
+    d = lp(img, noisy)
+    assert 0.005 < d < 1.0, d

@@ -5,11 +5,14 @@ summed over stages.
 
 The image ships no pretrained weights (zero egress), so weights load from
 user-provided files:
+  * one combined .npz produced by ``scripts/convert_lpips.py`` (recommended;
+    holds both the vgg convs and the lin heads — set $LPIPS_WEIGHTS or pass
+    --lpips_weights to render_eval.py), or
   * vgg_path: torchvision vgg16 state_dict (.pth, torch.load cpu) or an .npz
-    with the same `features.N.weight/bias` keys
+    with the same `features.N.weight/bias` keys, plus
   * lin_path: LPIPS v0.1 vgg linear heads (.pth / .npz, keys
     `lin{i}.model.1.weight`)
-`lpips_fn(...)` returns None when either file is missing — callers degrade
+`lpips_fn(...)` returns None when weights are missing — callers degrade
 gracefully (metrics JSON simply omits the column, evaluation/metrics.py:77-85
 behavior with the column present-but-null).
 """
@@ -37,10 +40,12 @@ def _load_state(path: str) -> dict[str, np.ndarray]:
     return {k: v.numpy() for k, v in sd.items()}
 
 
-def load_weights(vgg_path: str, lin_path: str):
-    """-> (convs per stage [(W,b), ...], lins [w]) as numpy arrays."""
+def load_weights(vgg_path: str, lin_path: str | None = None):
+    """-> (convs per stage [(W,b), ...], lins [w]) as numpy arrays.
+    With lin_path=None, vgg_path must be a combined file holding both key
+    families (the scripts/convert_lpips.py output)."""
     vgg = _load_state(vgg_path)
-    lin = _load_state(lin_path)
+    lin = _load_state(lin_path) if lin_path else vgg
     stages = []
     for stage in _STAGES:
         convs = []
@@ -99,7 +104,7 @@ def lpips_pair(img, gt, stages, lins):
 class LPIPS:
     """Callable wrapper; None-safe construction from optional weight paths."""
 
-    def __init__(self, vgg_path: str, lin_path: str):
+    def __init__(self, vgg_path: str, lin_path: str | None = None):
         self.stages, self.lins = load_weights(vgg_path, lin_path)
         self._fn = jax.jit(lambda a, b: lpips_pair(a, b, self.stages,
                                                    self.lins))
@@ -108,8 +113,21 @@ class LPIPS:
         return float(self._fn(jnp.asarray(img), jnp.asarray(gt)))
 
     @staticmethod
-    def maybe(vgg_path: str | None, lin_path: str | None):
-        if (vgg_path and lin_path and os.path.exists(vgg_path)
-                and os.path.exists(lin_path)):
-            return LPIPS(vgg_path, lin_path)
+    def maybe(vgg_path: str | None, lin_path: str | None = None):
+        """Combined-file form (lin_path falsy) or the two-file form."""
+        if vgg_path and os.path.exists(vgg_path):
+            if not lin_path:
+                return LPIPS(vgg_path)
+            if os.path.exists(lin_path):
+                return LPIPS(vgg_path, lin_path)
         return None
+
+    @staticmethod
+    def from_env():
+        """$LPIPS_WEIGHTS (combined npz from scripts/convert_lpips.py),
+        falling back to the $LPIPS_VGG_PATH + $LPIPS_LIN_PATH pair."""
+        combined = os.environ.get("LPIPS_WEIGHTS")
+        if combined:
+            return LPIPS.maybe(combined)
+        return LPIPS.maybe(os.environ.get("LPIPS_VGG_PATH"),
+                           os.environ.get("LPIPS_LIN_PATH"))

@@ -30,10 +30,11 @@ def ssim(img, gt) -> float:
 def lpips(img, gt, vgg_path: str | None = None, lin_path: str | None = None):
     """LPIPS(vgg) via the pure-JAX implementation (evaluation/lpips_jax.py);
     weights are user-provided files (zero-egress image) — returns None when
-    unavailable. Paths default to $LPIPS_VGG_PATH / $LPIPS_LIN_PATH."""
+    unavailable. Paths default to $LPIPS_WEIGHTS (combined npz from
+    scripts/convert_lpips.py) or the $LPIPS_VGG_PATH/$LPIPS_LIN_PATH pair."""
     from .lpips_jax import LPIPS
-    fn = LPIPS.maybe(vgg_path or os.environ.get("LPIPS_VGG_PATH"),
-                     lin_path or os.environ.get("LPIPS_LIN_PATH"))
+    fn = (LPIPS.maybe(vgg_path, lin_path) if vgg_path
+          else LPIPS.from_env())
     return None if fn is None else fn(img, gt)
 
 
@@ -69,8 +70,7 @@ def evaluate_dir(out_dir: str) -> dict:
     are available (see `lpips`)."""
     from PIL import Image
     from .lpips_jax import LPIPS
-    lp = LPIPS.maybe(os.environ.get("LPIPS_VGG_PATH"),
-                     os.environ.get("LPIPS_LIN_PATH"))
+    lp = LPIPS.from_env()
     rdir = os.path.join(out_dir, "renders")
     gdir = os.path.join(out_dir, "gt")
     names = sorted(os.listdir(rdir))
