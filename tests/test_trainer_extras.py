@@ -43,6 +43,70 @@ def test_trainer_with_appearance_and_semantic(tmp_path):
                        f"iteration_{tr.iteration}", "model.pkl")
     assert os.path.exists(out)
 
+    # full-sweep eval computes semantic mIoU (reference test(),
+    # trainer.py:530,569-577) and streams image panels to the writer chain
+    class StubWriter:
+        def __init__(self):
+            self.scalars, self.images, self.hists = {}, {}, []
+            self.finished = False
+
+        def scalar(self, tag, value, step):
+            self.scalars[tag] = value
+
+        def histogram(self, tag, values, step):
+            self.hists.append(tag)
+
+        def image(self, tag, arr, step):
+            self.images[tag] = np.asarray(arr).shape
+
+        def finish(self):
+            self.finished = True
+
+    stub = StubWriter()
+    tr._tb = stub
+    res = tr.run_test()
+    assert "miou" in res["train"], res
+    assert 0.0 <= res["train"]["miou"] <= 1.0
+    assert "eval/train_miou" in stub.scalars
+    assert "eval/train_psnr" in stub.scalars
+    assert "scene/total_points" in stub.scalars
+    # panel images: rgb strip, depth, normal, semantic all logged
+    assert "vis/train" in stub.images
+    assert "vis/train_depth" in stub.images
+    assert "vis/train_normal" in stub.images
+    assert "vis/train_sem" in stub.images
+    assert "scene/opacity_histogram" in stub.hists
+    tr.finalize()
+    assert stub.finished
+
+
+def test_final_iteration_hooks(tmp_path):
+    """The last configured iteration implicitly triggers test/save and the
+    imp_score.npz importance dump (reference trainer.py:425-436,508)."""
+    from vcr_gaus_tpu.train.trainer import Trainer
+    root = str(tmp_path / "scene")
+    write_colmap_scene(root, n_cams=3, n_pts=150, width=48, height=32)
+    c = Config("configs/config_base.yaml")
+    c.logdir = str(tmp_path / "log")
+    c.model.source_path = root
+    c.model.resolution = 1
+    c.model.depth_type = "traditional"
+    c.tpu.capacity = 256
+    c.optim.iterations = 12
+    c.optim.densify_from_iter = 10_000
+    c.optim.prune.iterations = [8]   # non-empty => importance dump at end
+    c.train.test_iterations = []
+    c.train.save_iterations = []
+    tr = Trainer(c)
+    tr.train(log_every=6)
+    assert os.path.exists(os.path.join(c.logdir, "imp_score.npz"))
+    imp = np.load(os.path.join(c.logdir, "imp_score.npz"))["arr_0"]
+    assert imp.shape[0] == tr.state.capacity
+    # implicit final-iteration test + save despite empty trigger lists
+    assert tr.test_history and tr.test_history[-1]["iter"] == 12
+    assert os.path.isdir(os.path.join(
+        c.logdir, "point_cloud", "iteration_12"))
+
 
 def test_blender_reader_and_training(tmp_path):
     """Write a tiny NeRF-synthetic layout and train a few steps."""

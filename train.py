@@ -39,8 +39,10 @@ def main():
           f"capacity {trainer.state.capacity}")
     trainer.train()
     trainer.save()
-    metrics = trainer.evaluate()
+    metrics = trainer.evaluate(
+        max_cams=int(getattr(cfg.tpu, "eval_max_cams", 0) or 0))
     print("final:", metrics)
+    trainer.finalize()
 
 
 if __name__ == "__main__":

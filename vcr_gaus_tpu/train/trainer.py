@@ -535,13 +535,29 @@ class Trainer:
                            time=time.time() - t0)
                 self.history.append(rec)
                 self._log_scalars(rec)
-            if self.iteration in list(self.cfg.train.test_iterations):
+            # the final configured iteration is an implicit member of every
+            # trigger list (reference `or current_iteration == max_iters`,
+            # trainer.py:508,425,428)
+            final = self.iteration == int(self.cfg.optim.iterations)
+            if final or self.iteration in list(
+                    self.cfg.train.test_iterations):
                 self.run_test()
-            if self.iteration in list(self.cfg.train.save_iterations):
+            if final or self.iteration in list(
+                    self.cfg.train.save_iterations):
                 self.save()
             if self.iteration in list(self.cfg.train.checkpoint_iterations):
                 self.save_checkpoint()
+            if final and list(self.cfg.optim.prune.iterations):
+                # final per-Gaussian importance dump (imp_score.npz,
+                # reference trainer.py:432-436)
+                self.save_importance()
         return self.history
+
+    def finalize(self):
+        """End-of-training hook (reference finalize(), trainer.py:199-210):
+        flush and close the metric writers."""
+        if self._tb is not None and hasattr(self._tb, "finish"):
+            self._tb.finish()
 
     def _gui_pump(self):
         """Upstream-3DGS viewer pump: poll the SIBR socket, render the
@@ -599,27 +615,56 @@ class Trainer:
             time.sleep(0.01)
 
     def run_test(self):
-        """Periodic PSNR/L1 sweep over train+test views + image panels
-        (trainer.py:452-494, 504-587)."""
-        res = {"train": self.evaluate(max_cams=8)}
+        """Periodic full-split eval sweep + image panels (the reference's
+        test(), trainer.py:504-587, and log_wandb_images, :452-494):
+        PSNR/L1/mIoU over the WHOLE train and test camera lists, one panel
+        set per split for the first view, opacity histogram, total points.
+        cfg.tpu.eval_max_cams (0 = all) caps the sweep for smoke runs."""
+        cap = int(getattr(self.cfg.tpu, "eval_max_cams", 0) or 0)
+        res = {"train": self.evaluate(max_cams=cap)}
         test_cams = self.scene.test_cameras
         if test_cams:
-            res["test"] = self.evaluate(test_cams, max_cams=8)
-        # visualization strip for one view
+            res["test"] = self.evaluate(test_cams, max_cams=cap)
+        # image panels for the first view of each split (reference logs the
+        # scene.first_name view per split)
         from . import visualization as VZ
-        cam = self._cam_arrays[0]
-        out = render(self.state, cam, self.rcfg, jnp.asarray(self.bg),
-                     self._sh_degree(), scene_extent=self.extent)
-        VZ.save_panels(os.path.join(self.cfg.logdir, "vis"),
-                       f"iter_{self.iteration:06d}", out, cam.image,
-                       num_cls=self.num_cls if self.ch_sem else 0)
+        splits = {"train": self._cam_arrays[0]}
+        if test_cams:
+            splits["test"] = test_cams[0].arrays()
+        classifier = self._classifier()
+        for mode, cam in splits.items():
+            out = render(self.state, cam, self.rcfg, jnp.asarray(self.bg),
+                         self._sh_degree(), scene_extent=self.extent,
+                         classifier=classifier)
+            if mode == "train":
+                VZ.save_panels(os.path.join(self.cfg.logdir, "vis"),
+                               f"iter_{self.iteration:06d}", out, cam.image,
+                               num_cls=self.num_cls if self.ch_sem else 0)
+            if self._tb is not None and hasattr(self._tb, "image"):
+                panels = VZ.panel_images(
+                    out, gt_image=cam.image,
+                    gt_normal=cam.normal if bool(cam.has_normal) else None,
+                    exp_t=float(self.cfg.optim.exp_t),
+                    num_cls=self.num_cls if self.ch_sem else 0,
+                    gt_mask=cam.mask if bool(cam.has_mask) else None)
+                for suffix, arr in panels.items():
+                    tag = f"vis/{mode}" + (f"_{suffix}" if suffix else "")
+                    self._tb.image(tag, arr, self.iteration)
         print(f"[ITER {self.iteration}] " + "  ".join(
             f"{k}: psnr={v['psnr']:.2f} l1={v['l1']:.4f}"
+            + (f" miou={v['miou']:.3f}" if "miou" in v else "")
             for k, v in res.items()), flush=True)
         if self._tb is not None:
             for split, v in res.items():
                 self._tb.scalar(f"eval/{split}_psnr", v["psnr"],
                                 self.iteration)
+                self._tb.scalar(f"eval/{split}_l1", v["l1"],
+                                self.iteration)
+                if "miou" in v:
+                    self._tb.scalar(f"eval/{split}_miou", v["miou"],
+                                    self.iteration)
+            self._tb.scalar("scene/total_points",
+                            float(self.state.num_active), self.iteration)
             # opacity histogram over the active population (the reference's
             # log_hist, trainer.py:496-502,583)
             if hasattr(self._tb, "histogram"):
@@ -792,19 +837,53 @@ class Trainer:
 
     # -- evaluation sweep (trainer.py:504-587) -------------------------------
 
+    def _classifier(self):
+        """Semantic head over rasterized feature channels (logits_2_label
+        input, gaussian_model.py:82-86)."""
+        if not self.ch_sem or self.net.cls_params is None:
+            return None
+        clf = APP.SemanticClassifier(self.num_cls)
+        params = self.net.cls_params
+        return lambda f: clf.apply(params, f)
+
     def evaluate(self, cameras: list[Camera] | None = None,
-                 max_cams: int = 8) -> dict:
+                 max_cams: int = 0) -> dict:
+        """PSNR/L1 (+ mIoU when semantics are on) over a camera list.
+        max_cams=0 sweeps every camera (the reference's full-split test(),
+        trainer.py:504-587)."""
         cams = ([c.arrays() for c in cameras] if cameras is not None
-                else self._cam_arrays)[:max_cams]
+                else self._cam_arrays)
+        if max_cams:
+            cams = cams[:max_cams]
+        classifier = self._classifier()
         psnrs, l1s = [], []
+        # mIoU via a confusion matrix accumulated over all views
+        # (JaccardIndex.update/compute, reference trainer.py:197,530,569-577)
+        conf = (np.zeros((self.num_cls, self.num_cls), np.int64)
+                if classifier is not None else None)
         for cam in cams:
             out = render(self.state, cam, self.rcfg, jnp.asarray(self.bg),
-                         self._sh_degree(), scene_extent=self.extent)
+                         self._sh_degree(), scene_extent=self.extent,
+                         classifier=classifier)
             img = jnp.clip(out["render"], 0, 1)
             mse = jnp.mean((img - cam.image) ** 2)
             psnrs.append(float(-10.0 * jnp.log10(mse + 1e-12)))
             l1s.append(float(L.l1_loss(img, cam.image)))
-        return {"psnr": float(np.mean(psnrs)), "l1": float(np.mean(l1s))}
+            if conf is not None and bool(cam.has_mask):
+                pred = np.asarray(jnp.argmax(out["render_sem"], axis=0))
+                gt = np.clip(np.asarray(cam.mask), 0, self.num_cls - 1)
+                idx = gt.ravel() * self.num_cls + pred.ravel()
+                conf += np.bincount(
+                    idx, minlength=self.num_cls ** 2
+                ).reshape(self.num_cls, self.num_cls)
+        res = {"psnr": float(np.mean(psnrs)), "l1": float(np.mean(l1s))}
+        if conf is not None and conf.sum() > 0:
+            inter = np.diag(conf).astype(np.float64)
+            union = conf.sum(0) + conf.sum(1) - np.diag(conf)
+            present = union > 0
+            res["miou"] = float(
+                (inter[present] / union[present]).mean())
+        return res
 
 
 class _TB:
@@ -823,6 +902,14 @@ class _TB:
         with self._w.as_default():
             import tensorflow as tf
             tf.summary.histogram(tag, values, step=step)
+
+    def image(self, tag, arr_hwc, step):
+        with self._w.as_default():
+            import tensorflow as tf
+            tf.summary.image(tag, np.asarray(arr_hwc)[None], step=step)
+
+    def finish(self):
+        self._w.flush()
 
 
 class _Wandb:
@@ -853,6 +940,15 @@ class _Wandb:
     def histogram(self, tag, values, step):
         self._wandb.log({tag: self._wandb.Histogram(np.asarray(values))},
                         step=step)
+
+    def image(self, tag, arr_hwc, step):
+        """Image panels (the reference's log_wandb_images,
+        trainer.py:452-494)."""
+        self._wandb.log({tag: self._wandb.Image(np.asarray(arr_hwc))},
+                        step=step)
+
+    def finish(self):
+        self._wandb.finish()
 
 
 def _make_tb_writer(logdir: str):
@@ -886,6 +982,16 @@ def _make_tb_writer(logdir: str):
             for w in writers:
                 if hasattr(w, "histogram"):
                     w.histogram(tag, values, step)
+
+        def image(self, tag, arr_hwc, step):
+            for w in writers:
+                if hasattr(w, "image"):
+                    w.image(tag, arr_hwc, step)
+
+        def finish(self):
+            for w in writers:
+                if hasattr(w, "finish"):
+                    w.finish()
     return _Multi()
 
 
