@@ -35,6 +35,11 @@ def main():
     ap.add_argument("--num_cluster", type=int, default=1)
     ap.add_argument("--mesh_name", default="ours")
     ap.add_argument("--prune_outliers", action="store_true")
+    ap.add_argument("--max_voxels", type=int, default=1 << 31,
+                    help="abort (exit 3) if the dense TSDF grid would "
+                         "exceed this many voxels — the deterministic "
+                         "analog of the reference's CUDA OOM that the "
+                         "run_tnt voxel ladder retries over")
     args, overrides = ap.parse_known_args()
 
     from vcr_gaus_tpu.config import Config
@@ -78,6 +83,13 @@ def main():
                         entry_budget=1 << 21,
                         mask_depth_thr=1e9)
     voxel = args.voxel_size or float(cfg.model.mesh.voxel_size)
+    dims = np.maximum((2.0 * np.broadcast_to(np.asarray(info.scale), (3,))
+                       / voxel).astype(np.int64) + 1, 2)
+    if int(dims.prod()) > args.max_voxels:
+        print(f"TSDF grid {dims.tolist()} = {int(dims.prod()):,} voxels "
+              f"exceeds --max_voxels={args.max_voxels:,}; "
+              "retry with a larger --voxel_size", file=sys.stderr)
+        raise SystemExit(3)
     verts, faces = extract_mesh_from_state(
         state, info.train_cameras, rcfg, info.trans, info.scale,
         voxel_size=voxel, alpha_thr=args.prob_thr, stride=args.split,

@@ -29,8 +29,11 @@ def main():
     ap.add_argument("--out", default="output/dtu")
     ap.add_argument("--scans", type=int, nargs="*", default=SCANS)
     ap.add_argument("--iterations", type=int, default=None)
+    ap.add_argument("--voxel_size", type=float, default=0.004,
+                    help="TSDF voxel (reference run_dtu.py:46-53)")
     ap.add_argument("--dry", action="store_true")
-    args = ap.parse_args()
+    # unrecognized dotted overrides (--a.b=c) pass through to train.py
+    args, train_overrides = ap.parse_known_args()
 
     py = sys.executable
     results = {}
@@ -41,10 +44,15 @@ def main():
                      f"--model.source_path={src}", f"--logdir={logdir}"]
         if args.iterations:
             train_cmd.append(f"--optim.iterations={args.iterations}")
+        train_cmd += train_overrides
         sh(train_cmd, args.dry)
+        # check_finish gate (reference run_base.py:46-50)
+        if not args.dry and not os.path.isdir(
+                os.path.join(logdir, "point_cloud")):
+            raise SystemExit(f"check_finish: no point_cloud/ for scan{scan}")
         sh([py, "depth2mesh.py", f"--cfg_path={logdir}/config.yaml",
-            "--voxel_size=0.004", "--max_depth=3", "--prob_thr=0.15",
-            "--num_cluster=1"], args.dry)
+            f"--voxel_size={args.voxel_size}", "--max_depth=3",
+            "--prob_thr=0.15", "--num_cluster=1"], args.dry)
         sh([py, "scripts/eval_geometry.py", "dtu",
             f"--ply_path={logdir}/ours.ply",
             f"--dataset_dir={args.eval_dir}", f"--scan={scan}"], args.dry)

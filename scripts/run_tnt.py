@@ -35,8 +35,15 @@ def main():
     ap.add_argument("--out", default="output/tnt")
     ap.add_argument("--scenes", nargs="*", default=SCENES)
     ap.add_argument("--iterations", type=int, default=None)
+    ap.add_argument("--voxel_ladder", type=float, nargs="*",
+                    default=VOXEL_LADDER,
+                    help="voxel sizes tried in order until meshing "
+                         "succeeds (run_tnt.py:47-48,82-85)")
+    ap.add_argument("--max_voxels", type=int, default=None,
+                    help="forwarded to depth2mesh (grid-size abort)")
     ap.add_argument("--dry", action="store_true")
-    args = ap.parse_args()
+    # unrecognized dotted overrides (--a.b=c) pass through to train.py
+    args, train_overrides = ap.parse_known_args()
 
     py = sys.executable
     results = {}
@@ -50,15 +57,25 @@ def main():
                      f"--model.source_path={src}", f"--logdir={logdir}"]
         if args.iterations:
             train_cmd.append(f"--optim.iterations={args.iterations}")
+        train_cmd += train_overrides
         if not sh(train_cmd, args.dry):
             print(f"TRAIN FAILED: {scene}")
             continue
+        # check_finish gate (reference run_base.py:46-50)
+        if not args.dry and not os.path.isdir(
+                os.path.join(logdir, "point_cloud")):
+            print(f"check_finish FAILED: no point_cloud/ for {scene}")
+            continue
         # OOM-resilience ladder (run_tnt.py:47-48,82-85): retry coarser
         ok = False
-        for vs in VOXEL_LADDER:
-            if sh([py, "depth2mesh.py", f"--cfg_path={logdir}/config.yaml",
-                   f"--voxel_size={vs}", "--split=3", "--max_depth=8",
-                   "--prob_thr=0.3", "--num_cluster=0"], args.dry):
+        for vs in args.voxel_ladder:
+            mesh_cmd = [py, "depth2mesh.py",
+                        f"--cfg_path={logdir}/config.yaml",
+                        f"--voxel_size={vs}", "--split=3", "--max_depth=8",
+                        "--prob_thr=0.3", "--num_cluster=0"]
+            if args.max_voxels:
+                mesh_cmd.append(f"--max_voxels={args.max_voxels}")
+            if sh(mesh_cmd, args.dry):
                 ok = True
                 break
         if not ok:
@@ -67,7 +84,7 @@ def main():
         sh([py, "scripts/eval_geometry.py", "tnt",
             f"--ply_path={logdir}/ours.ply",
             f"--gt_path={os.path.join(args.gt_root, scene, scene + '.ply')}",
-            f"--threshold={TAU[scene]}", "--icp"], args.dry)
+            f"--threshold={TAU.get(scene, 0.01)}", "--icp"], args.dry)
         mt = os.path.join(logdir, "metrics.txt")
         if os.path.exists(mt):
             with open(mt) as f:

@@ -9,6 +9,23 @@ import os
 
 import numpy as np
 
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def cpu_subprocess_env(*extra_paths):
+    """Env for CLI subprocess tests that MUST run on local CPU.
+
+    Strips any PYTHONPATH entry that loads the TPU plugin's sitecustomize
+    (e.g. /root/.axon_site) — once that plugin registers, JAX_PLATFORMS=cpu
+    is silently ignored and the subprocess dispatches to the tunneled chip,
+    which is slow, serialized, and flaky under xdist."""
+    env = dict(os.environ, JAX_PLATFORMS="cpu",
+               XLA_FLAGS="--xla_force_host_platform_device_count=1")
+    keep = [p for p in os.environ.get("PYTHONPATH", "").split(os.pathsep)
+            if p and "axon" not in p]
+    env["PYTHONPATH"] = os.pathsep.join([REPO, *extra_paths, *keep])
+    return env
+
 
 def make_cube_points(n=600, seed=0):
     """Points on the surface of a unit cube, colored by face."""

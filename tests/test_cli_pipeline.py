@@ -13,7 +13,7 @@ import pytest
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, os.path.join(REPO, "tests"))
 
-from fixtures import write_colmap_scene
+from fixtures import cpu_subprocess_env, write_colmap_scene
 
 
 @pytest.fixture(scope="module")
@@ -26,11 +26,9 @@ def pipeline_dirs(tmp_path_factory):
 
 
 def run_cli(script, *args):
-    env = dict(os.environ, JAX_PLATFORMS="cpu",
-               XLA_FLAGS="--xla_force_host_platform_device_count=1",
-               PYTHONPATH=REPO + os.pathsep + os.environ.get("PYTHONPATH", ""))
     r = subprocess.run([sys.executable, os.path.join(REPO, script), *args],
-                       env=env, capture_output=True, text=True)
+                       env=cpu_subprocess_env(), capture_output=True,
+                       text=True)
     assert r.returncode == 0, f"{script} failed:\n{r.stdout}\n{r.stderr}"
     return r.stdout
 

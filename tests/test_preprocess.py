@@ -14,8 +14,10 @@ import pytest
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, os.path.join(REPO, "scripts"))
+sys.path.insert(0, os.path.join(REPO, "tests"))
 
 import convert_tnt as CT
+from fixtures import cpu_subprocess_env
 
 
 def _random_pose(rng):
@@ -128,8 +130,7 @@ def test_extract_priors_depth_and_allfg(tmp_path):
     with open(src / "sparse" / "cameras.txt", "w") as fp:
         fp.write(f"1 PINHOLE {w} {h} 30 30 {w/2} {h/2}\n")
 
-    env = dict(os.environ, JAX_PLATFORMS="cpu",
-               PYTHONPATH=REPO + os.pathsep + os.environ.get("PYTHONPATH", ""))
+    env = cpu_subprocess_env()
     script = os.path.join(REPO, "scripts", "extract_priors.py")
     r = subprocess.run([sys.executable, script, "normals",
                         "--source", str(src), "--backend", "depth"],
@@ -168,8 +169,7 @@ def test_convert_dtu_cli(tmp_path):
     write_points_ply(str(stl_dir / "stl007_total.ply"),
                      rng.normal(size=(500, 3)))
 
-    env = dict(os.environ, JAX_PLATFORMS="cpu",
-               PYTHONPATH=REPO + os.pathsep + os.environ.get("PYTHONPATH", ""))
+    env = cpu_subprocess_env()
     r = subprocess.run([sys.executable,
                         os.path.join(REPO, "scripts", "convert_dtu.py"),
                         "--dtu_path", str(tmp_path), "--subsample", "1"],
@@ -186,8 +186,7 @@ def test_visualize_cameras_cli(tmp_path):
     from fixtures import write_colmap_scene
     root = str(tmp_path / "scene")
     write_colmap_scene(root, n_cams=4, n_pts=100, width=32, height=24)
-    env = dict(os.environ, JAX_PLATFORMS="cpu", MPLBACKEND="Agg",
-               PYTHONPATH=REPO + os.pathsep + os.environ.get("PYTHONPATH", ""))
+    env = dict(cpu_subprocess_env(), MPLBACKEND="Agg")
     r = subprocess.run([sys.executable,
                         os.path.join(REPO, "scripts", "visualize_cameras.py"),
                         "--source", root], env=env, capture_output=True,

@@ -1,0 +1,105 @@
+"""Benchmark pipeline runners driven end-to-end via subprocess on the
+synthetic fixture scene: stage chaining, check_finish gates, and the TNT
+voxel-size retry ladder (reference python_scripts/run_{dtu,tnt}.py,
+run_base.py:46-50)."""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.join(REPO, "tests"))
+
+from fixtures import cpu_subprocess_env, write_colmap_scene
+
+
+def run_script(script, *args, check=True):
+    r = subprocess.run([sys.executable, os.path.join(REPO, script), *args],
+                       env=cpu_subprocess_env(), capture_output=True,
+                       text=True, cwd=REPO, timeout=900)
+    if check:
+        assert r.returncode == 0, f"{script} failed:\n{r.stdout[-3000:]}\n" \
+                                  f"{r.stderr[-3000:]}"
+    return r
+
+
+@pytest.mark.xdist_group("subprocess")
+def test_run_dtu_pipeline(tmp_path):
+    """train -> mesh -> Chamfer eval chain for one scan; aggregate JSON."""
+    data_root = tmp_path / "dtu"
+    scan = data_root / "scan24"
+    write_colmap_scene(str(scan), n_cams=6, n_pts=300, width=64, height=48,
+                       with_priors=True)
+    # synthetic GT point cloud near the fixture cube surface
+    from vcr_gaus_tpu.utils.ply import write_points_ply
+    from fixtures import make_cube_points
+    stl_dir = tmp_path / "dtu_eval" / "Points" / "stl"
+    stl_dir.mkdir(parents=True)
+    pts, _ = make_cube_points(2000)
+    write_points_ply(str(stl_dir / "stl024_total.ply"), pts)
+
+    out = tmp_path / "out_dtu"
+    r = run_script(
+        "scripts/run_dtu.py", "--data_root", str(data_root),
+        "--eval_dir", str(tmp_path / "dtu_eval"), "--out", str(out),
+        "--scans", "24", "--iterations", "40", "--voxel_size", "0.08",
+        "--tpu.capacity=1024",
+        "--model.depth_type=traditional", "--model.normal_folder=normals",
+        "--optim.densify_from_iter=1000", "--train.test_iterations=[]",
+        "--train.save_iterations=[40]")
+    assert os.path.exists(out / "scan24" / "ours.ply"), r.stdout[-2000:]
+    assert os.path.exists(out / "scan24" / "results.json")
+    res = json.loads(open(out / "scan24" / "results.json").read())
+    assert {"mean_d2s", "mean_s2d", "overall"} <= set(res)
+    assert "mean_chamfer" in r.stdout
+
+
+@pytest.mark.xdist_group("subprocess")
+def test_run_tnt_pipeline_with_voxel_ladder(tmp_path):
+    """The first (too-fine) voxel size aborts on the grid-size guard and the
+    ladder retries coarser — the reference's OOM-resilience loop
+    (run_tnt.py:47-48,82-85) — then F1 eval aggregates."""
+    data_root = tmp_path / "tnt"
+    scene = data_root / "TestScene"
+    write_colmap_scene(str(scene), n_cams=6, n_pts=300, width=64, height=48,
+                       with_priors=True)
+    from vcr_gaus_tpu.utils.ply import write_points_ply
+    from fixtures import make_cube_points
+    gt_dir = tmp_path / "tnt_gt" / "TestScene"
+    gt_dir.mkdir(parents=True)
+    pts, _ = make_cube_points(2000)
+    write_points_ply(str(gt_dir / "TestScene.ply"), pts)
+
+    out = tmp_path / "out_tnt"
+    r = run_script(
+        "scripts/run_tnt.py", "--data_root", str(data_root),
+        "--gt_root", str(tmp_path / "tnt_gt"), "--out", str(out),
+        "--scenes", "TestScene", "--iterations", "40",
+        "--voxel_ladder", "0.0001", "0.08", "--max_voxels", "2000000",
+        "--tpu.capacity=1024",
+        "--model.depth_type=traditional",
+        "--model.use_decoupled_appearance=false",
+        "--optim.loss_weight.semantic=0",
+        "--optim.densify_from_iter=1000", "--train.test_iterations=[]",
+        "--train.save_iterations=[40]")
+    # ladder: the 0.0001 attempt must have failed, the 0.08 one succeeded
+    assert "--voxel_size=0.0001" in r.stdout
+    assert "--voxel_size=0.08" in r.stdout
+    assert os.path.exists(out / "TestScene" / "ours.ply"), r.stdout[-2000:]
+    assert os.path.exists(out / "TestScene" / "metrics.txt")
+    assert "mean_f1" in r.stdout
+    res = json.loads(r.stdout[r.stdout.rindex('{\n  "per_scene"'):])
+    assert "F-score" in res["per_scene"]["TestScene"]
+
+    # check_finish: a missing point_cloud/ gate aborts the scene cleanly
+    bad_out = tmp_path / "out_bad"
+    r2 = run_script(
+        "scripts/run_tnt.py", "--data_root", str(data_root),
+        "--gt_root", str(tmp_path / "tnt_gt"), "--out", str(bad_out),
+        "--scenes", "TestScene", "--iterations", "40",
+        "--nonexistent.key=1")     # strict-merge rejects -> train fails
+    assert "TRAIN FAILED" in r2.stdout or "check_finish FAILED" in r2.stdout
