@@ -35,6 +35,12 @@ def main():
     ap.add_argument("--num_cluster", type=int, default=1)
     ap.add_argument("--mesh_name", default="ours")
     ap.add_argument("--prune_outliers", action="store_true")
+    ap.add_argument("--unbounded", action="store_true",
+                    help="mip-360 contraction meshing for unbounded scenes "
+                         "(reference tools/mesh_utils.py:168-276) instead "
+                         "of the bounded box grid")
+    ap.add_argument("--resolution", type=int, default=320,
+                    help="contracted-grid resolution (unbounded mode)")
     ap.add_argument("--max_voxels", type=int, default=1 << 31,
                     help="abort (exit 3) if the dense TSDF grid would "
                          "exceed this many voxels — the deterministic "
@@ -44,8 +50,9 @@ def main():
 
     from vcr_gaus_tpu.config import Config
     from vcr_gaus_tpu.data.scene import load_scene_info
-    from vcr_gaus_tpu.meshing.extract import (extract_mesh_from_state,
-                                              save_mesh_ply)
+    from vcr_gaus_tpu.meshing.extract import (
+        extract_mesh_from_state, extract_mesh_unbounded_from_state,
+        save_mesh_ply)
     from vcr_gaus_tpu.models import ply_io
     from vcr_gaus_tpu.render.renderer import RenderConfig
 
@@ -63,7 +70,9 @@ def main():
                            llffhold=cfg.model.llffhold,
                            ratio=cfg.model.ratio,
                            use_meta_split=cfg.model.split,
-                           resolution=cfg.model.resolution)
+                           resolution=cfg.model.resolution,
+                           data_device=str(getattr(cfg.model, "data_device",
+                                                   "host")))
     if args.prune_outliers:
         import jax.numpy as jnp
 
@@ -82,20 +91,34 @@ def main():
                         depth_mode=cfg.model.depth_type,
                         entry_budget=1 << 21,
                         mask_depth_thr=1e9)
-    voxel = args.voxel_size or float(cfg.model.mesh.voxel_size)
-    dims = np.maximum((2.0 * np.broadcast_to(np.asarray(info.scale), (3,))
-                       / voxel).astype(np.int64) + 1, 2)
-    if int(dims.prod()) > args.max_voxels:
-        print(f"TSDF grid {dims.tolist()} = {int(dims.prod()):,} voxels "
-              f"exceeds --max_voxels={args.max_voxels:,}; "
-              "retry with a larger --voxel_size", file=sys.stderr)
-        raise SystemExit(3)
-    verts, faces = extract_mesh_from_state(
-        state, info.train_cameras, rcfg, info.trans, info.scale,
-        voxel_size=voxel, alpha_thr=args.prob_thr, stride=args.split,
-        max_depth=args.max_depth, n_clusters=args.num_cluster,
-        sh_degree=cfg.model.sh_degree, scene_extent=info.radius,
-        progress=lambda i: print(f"  fused view {i}", end="\r"))
+    if args.unbounded:
+        if args.resolution ** 3 > args.max_voxels:
+            print(f"contracted grid {args.resolution}^3 exceeds "
+                  f"--max_voxels={args.max_voxels:,}; lower --resolution",
+                  file=sys.stderr)
+            raise SystemExit(3)
+        verts, faces = extract_mesh_unbounded_from_state(
+            state, info.train_cameras, rcfg, resolution=args.resolution,
+            alpha_thr=args.prob_thr, stride=args.split,
+            n_clusters=args.num_cluster, sh_degree=cfg.model.sh_degree,
+            scene_extent=info.radius,
+            progress=lambda i: print(f"  fused view {i}", end="\r"))
+    else:
+        voxel = args.voxel_size or float(cfg.model.mesh.voxel_size)
+        dims = np.maximum((2.0 * np.broadcast_to(np.asarray(info.scale),
+                                                 (3,))
+                           / voxel).astype(np.int64) + 1, 2)
+        if int(dims.prod()) > args.max_voxels:
+            print(f"TSDF grid {dims.tolist()} = {int(dims.prod()):,} voxels "
+                  f"exceeds --max_voxels={args.max_voxels:,}; "
+                  "retry with a larger --voxel_size", file=sys.stderr)
+            raise SystemExit(3)
+        verts, faces = extract_mesh_from_state(
+            state, info.train_cameras, rcfg, info.trans, info.scale,
+            voxel_size=voxel, alpha_thr=args.prob_thr, stride=args.split,
+            max_depth=args.max_depth, n_clusters=args.num_cluster,
+            sh_degree=cfg.model.sh_degree, scene_extent=info.radius,
+            progress=lambda i: print(f"  fused view {i}", end="\r"))
     out = os.path.join(logdir, f"{args.mesh_name}.ply")
     save_mesh_ply(out, verts, faces)
     print(f"\nwrote {out}: {len(verts)} verts, {len(faces)} faces")

@@ -49,7 +49,9 @@ def main():
                            llffhold=cfg.model.llffhold,
                            ratio=cfg.model.ratio,
                            use_meta_split=cfg.model.split,
-                           resolution=cfg.model.resolution)
+                           resolution=cfg.model.resolution,
+                           data_device=str(getattr(cfg.model, "data_device",
+                                                   "host")))
     cam0 = info.train_cameras[0]
     rcfg = RenderConfig(width=cam0.width, height=cam0.height,
                         depth_mode=cfg.model.depth_type,

@@ -27,7 +27,11 @@ def test_read_colmap_scene(scene_dir):
     assert os.path.exists(os.path.join(scene_dir, "meta.json"))
     cam = info.train_cameras[0]
     assert cam.image.shape == (3, 48, 64)
-    assert 0 <= cam.image.min() and cam.image.max() <= 1
+    # compact host residency: u8 storage, f32/255 only in arrays()
+    assert cam.image.dtype == np.uint8
+    arr = cam.arrays()
+    assert arr.image.dtype == np.float32
+    assert 0 <= arr.image.min() and arr.image.max() <= 1
     # camera geometry: all cameras look at the cube => center projects inside
     for c in info.train_cameras:
         w2c = c.world_view_transform            # row-vector
@@ -53,6 +57,29 @@ def test_priors_loaded(scene_dir):
     assert cam.mask is not None and cam.mask.shape == (48, 64)
     arr = cam.arrays()
     assert bool(arr.has_normal) and bool(arr.has_mask)
+
+
+def test_lazy_data_device(scene_dir):
+    """data_device='lazy' keeps no pixel arrays resident; arrays() decodes
+    per use and matches the cached-mode output exactly (SURVEY §7.3#7 /
+    reference data_device=cpu analog)."""
+    host = read_colmap_scene(scene_dir, eval_split=False, load_normal=True,
+                             load_mask=True, resolution=1)
+    lazy = read_colmap_scene(scene_dir, eval_split=False, load_normal=True,
+                             load_mask=True, resolution=1,
+                             data_device="lazy")
+    for ch, cl in zip(host.train_cameras, lazy.train_cameras):
+        assert cl.image is None and cl.normal is None and cl.mask is None
+        assert set(cl.loaders) == {"image", "normal", "mask"}
+        ah, al = ch.arrays(), cl.arrays()
+        np.testing.assert_array_equal(ah.image, al.image)
+        np.testing.assert_array_equal(ah.normal, al.normal)
+        np.testing.assert_array_equal(ah.mask, al.mask)
+        assert bool(al.has_normal) and bool(al.has_mask)
+    # compact dtypes in host mode
+    ch = host.train_cameras[0]
+    assert ch.image.dtype == np.uint8
+    assert ch.normal.dtype == np.float16
 
 
 def test_dispatch(scene_dir):

@@ -14,7 +14,7 @@ from __future__ import annotations
 
 import math
 from dataclasses import dataclass, field
-from typing import NamedTuple
+from typing import Callable, NamedTuple
 
 import numpy as np
 
@@ -50,14 +50,18 @@ class Camera:
     fovy: float
     width: int
     height: int
-    image: np.ndarray | None = None      # (3,H,W) f32
-    normal: np.ndarray | None = None     # (3,H,W) f32
+    image: np.ndarray | None = None      # (3,H,W) f32 or u8 (u8 = /255)
+    normal: np.ndarray | None = None     # (3,H,W) f32 or f16
     depth: np.ndarray | None = None      # (H,W) f32
     mask: np.ndarray | None = None       # (H,W) int
     znear: float = 0.01
     zfar: float = 100.0
     trans: np.ndarray = field(default_factory=lambda: np.zeros(3))
     scale: float = 1.0
+    # data_device='lazy' residency (the reference's data_device=cpu analog,
+    # bash_scripts/0_train.sh:24): zero-arg decoders keyed by
+    # image/normal/depth/mask, invoked per arrays() call — nothing cached
+    loaders: dict[str, Callable[[], np.ndarray]] | None = None
 
     @property
     def world_view_transform(self) -> np.ndarray:
@@ -88,10 +92,25 @@ class Camera:
             G.fov2focal(self.fovy, self.height),
             self.width / 2.0, self.height / 2.0], np.float32)
 
+    def _component(self, kind: str):
+        arr = getattr(self, kind)
+        if arr is None and self.loaders and kind in self.loaders:
+            arr = self.loaders[kind]()
+        return arr
+
     def arrays(self) -> CameraArrays:
+        """Materialize the jit-facing f32 pytree. Compact host storage
+        (u8 images, f16 normals) and lazy loaders are resolved here, so
+        the full-precision stack exists only transiently per use."""
         h, w = self.height, self.width
-        img = self.image if self.image is not None else np.zeros(
-            (3, h, w), np.float32)
+        img = self._component("image")
+        if img is None:
+            img = np.zeros((3, h, w), np.float32)
+        elif img.dtype == np.uint8:
+            img = img.astype(np.float32) / 255.0
+        normal = self._component("normal")
+        depth = self._component("depth")
+        mask = self._component("mask")
         return CameraArrays(
             viewmatrix=self.world_view_transform.astype(np.float32),
             projmatrix=self.full_proj_transform.astype(np.float32),
@@ -99,15 +118,16 @@ class Camera:
             intr=self.intrinsics,
             tanfov=np.array([math.tan(self.fovx / 2), math.tan(self.fovy / 2)],
                             np.float32),
-            image=img.astype(np.float32),
-            normal=(self.normal if self.normal is not None else
+            image=img.astype(np.float32, copy=False),
+            normal=(normal if normal is not None else
                     np.zeros((3, h, w), np.float32)).astype(np.float32),
-            depth=(self.depth if self.depth is not None else
+            depth=(depth if depth is not None else
                    np.zeros((h, w), np.float32)).astype(np.float32),
-            mask=(self.mask if self.mask is not None else
+            mask=(mask if mask is not None else
                   np.zeros((h, w), np.int32)).astype(np.int32),
-            has_normal=np.asarray(self.normal is not None),
-            has_depth=np.asarray(self.depth is not None),
-            has_mask=np.asarray(self.mask is not None),
+            has_normal=np.asarray(
+                normal is not None),
+            has_depth=np.asarray(depth is not None),
+            has_mask=np.asarray(mask is not None),
             idx=np.asarray(self.idx, np.int32),
         )

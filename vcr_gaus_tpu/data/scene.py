@@ -61,12 +61,14 @@ def bound_by_points(xyz: np.ndarray):
 
 
 def _load_image(path: str, resolution: tuple[int, int]) -> np.ndarray:
+    """(3,H,W) uint8 — PNG/JPEG sources are u8, so the compact dtype is
+    lossless; Camera.arrays() converts to f32/255 transiently (the
+    whole-scene f32 residency the reference pays is avoided)."""
     from PIL import Image
     img = Image.open(path)
     if img.size != resolution:
         img = img.resize(resolution)
-    arr = np.asarray(img.convert("RGB"), np.float32) / 255.0
-    return arr.transpose(2, 0, 1)
+    return np.asarray(img.convert("RGB"), np.uint8).transpose(2, 0, 1)
 
 
 def _resolve_resolution(orig_w: int, orig_h: int, resolution: int,
@@ -103,7 +105,11 @@ def _load_aux(base: str, name: str, kind: str, resolution):
         w, h = resolution
         if arr.shape[:2] != (h, w):
             arr = cv2.resize(arr, (w, h), interpolation=cv2.INTER_LINEAR)
-        return (arr.transpose(2, 0, 1) if kind == "normal" else arr)
+        if kind == "normal":
+            # f16 host cache: DSINE/GeoWizard priors ship as f16 npz
+            # (process_data/extract_normal.py:208-252), so this is lossless
+            return arr.transpose(2, 0, 1).astype(np.float16)
+        return arr
     if kind == "mask":
         p = os.path.join(base, stem + ".png")
         if not os.path.exists(p):
@@ -122,6 +128,21 @@ def _load_aux(base: str, name: str, kind: str, resolution):
     return None
 
 
+def _aux_exists(base: str, name: str, kind: str) -> bool:
+    """Path-only probe matching _load_aux's resolution order (lazy mode
+    needs static has_* flags without decoding)."""
+    stem = os.path.splitext(name)[0]
+    if kind in ("depth", "normal"):
+        if os.path.exists(os.path.join(base, stem + ".npz")):
+            return True
+        return kind == "depth" and os.path.exists(
+            os.path.join(base, stem + ".png"))
+    if kind == "mask":
+        return (os.path.exists(os.path.join(base, stem + ".png"))
+                or os.path.exists(os.path.join(base, name[1:])))
+    return False
+
+
 def read_colmap_scene(
     path: str,
     images_dir: str = "images",
@@ -136,7 +157,12 @@ def read_colmap_scene(
     depth_folder: str = "depths",
     resolution: int = -1,
     filter_pcd: bool = True,
+    data_device: str = "host",
 ) -> SceneInfo:
+    """data_device: 'host' caches compact arrays (u8 images / f16 normals)
+    in host RAM; 'lazy' stores only paths and decodes per use — the
+    reference's data_device=cpu analog for scenes too big to cache
+    (bash_scripts/0_train.sh:24)."""
     colmap_dir = os.path.join(path, "sparse/0")
     if not os.path.exists(colmap_dir):
         colmap_dir = os.path.join(path, "sparse")
@@ -166,17 +192,32 @@ def read_colmap_scene(
                              "(undistort with COLMAP first)")
         name = os.path.basename(e.name)
         res = _resolve_resolution(ic.width, ic.height, resolution)
-        image = _load_image(os.path.join(img_root, name), res)
-        depth = _load_aux(img_root.replace("images", depth_folder), name,
-                          "depth", res) if load_depth else None
-        normal = _load_aux(img_root.replace("images", normal_folder), name,
-                           "normal", res) if load_normal else None
-        mask = _load_aux(img_root.replace("images", "masks"), name,
-                         "mask", res) if load_mask else None
+        img_path = os.path.join(img_root, name)
+        aux_bases = {"depth": img_root.replace("images", depth_folder),
+                     "normal": img_root.replace("images", normal_folder),
+                     "mask": img_root.replace("images", "masks")}
+        wanted = {"depth": load_depth, "normal": load_normal,
+                  "mask": load_mask}
+        specs = {"image": (lambda p=img_path, r=res: _load_image(p, r))}
+        for kind, base in aux_bases.items():
+            if wanted[kind]:
+                specs[kind] = (lambda b=base, n=name, r=res, k=kind:
+                               _load_aux(b, n, k, r))
+        if data_device == "lazy":
+            # has_* flags must be static: probe paths without decoding
+            loaders = {k: fn for k, fn in specs.items()
+                       if k == "image" or _aux_exists(aux_bases[k], name, k)}
+            eager = {}
+        else:
+            loaders = None
+            eager = {k: v for k, v in ((k, fn()) for k, fn in specs.items())
+                     if v is not None}
         cams.append(Camera(
             colmap_id=ic.id, idx=0, image_name=os.path.splitext(name)[0],
             R=R, T=T, fovx=fovx, fovy=fovy, width=res[0], height=res[1],
-            image=image, depth=depth, normal=normal, mask=mask))
+            image=eager.get("image"), depth=eager.get("depth"),
+            normal=eager.get("normal"), mask=eager.get("mask"),
+            loaders=loaders))
     cams.sort(key=lambda c: c.image_name)
 
     # meta.json box normalization

@@ -125,37 +125,74 @@ def _make_step_impl(cfg, rcfg: RenderConfig, weights: dict,
 
     def step_impl(state: GM.GaussianState, net: NetState, cam: CameraArrays,
                   bg, lr_xyz, *, sh_degree: int, gates: Gates,
-                  axis: str | None = None, bin_aux=None, next_cam=None):
+                  axis: str | None = None, bin_aux=None, next_cam=None,
+                  k: int = 1):
+        """k > 1: `cam` (and bin_aux/next_cam when given) carry a leading
+        local-camera axis of size k — the per-chip share of a camera batch
+        larger than the mesh. The k renders are unrolled at trace time and
+        their gradients/stats averaged before the (replicated) update."""
         inside_mask, _ = M.get_inside_normalized(state.params.xyz,
                                                  jnp.asarray(trans),
                                                  jnp.asarray(scale))
 
-        def loss_fn(params, dummy, app_emb, app_params, cls_params):
-            st = state._replace(params=params)
-            classifier = None
-            if cls_params is not None:
-                clf = APP.SemanticClassifier(num_cls)
-                classifier = lambda f: clf.apply(cls_params, f)
-            out = render(st, cam, rcfg, bg, sh_degree,
-                         scene_extent=scene_extent, classifier=classifier,
-                         densify_dummy=dummy, bin_aux=bin_aux)
-            net2 = net._replace(app_embeddings=app_emb,
-                                app_params=app_params)
-            total, losses = compute_losses(out, cam, st, weights, gates,
-                                           cfg, net2, inside_mask, num_cls)
-            return total, (losses, out)
+        def make_loss_fn(cam_i, bin_aux_i):
+            def loss_fn(params, dummy, app_emb, app_params, cls_params):
+                st = state._replace(params=params)
+                classifier = None
+                if cls_params is not None:
+                    clf = APP.SemanticClassifier(num_cls)
+                    classifier = lambda f: clf.apply(cls_params, f)
+                out = render(st, cam_i, rcfg, bg, sh_degree,
+                             scene_extent=scene_extent,
+                             classifier=classifier,
+                             densify_dummy=dummy, bin_aux=bin_aux_i)
+                net2 = net._replace(app_embeddings=app_emb,
+                                    app_params=app_params)
+                total, losses = compute_losses(out, cam_i, st, weights,
+                                               gates, cfg, net2, inside_mask,
+                                               num_cls)
+                return total, (losses, out)
+            return loss_fn
+
+        def pick(tree, i):
+            return (None if tree is None else
+                    jax.tree.map(lambda x: x[i], tree))
 
         dummy = jnp.zeros((state.capacity, 2), jnp.float32)
-        grad_fn = jax.value_and_grad(
-            loss_fn, argnums=(0, 1, 2, 3, 4), has_aux=True)
-        (total, (losses, out)), grads = grad_fn(
-            state.params, dummy, net.app_embeddings, net.app_params,
-            net.cls_params)
+        grads = losses = None
+        radii = visibility = overflow = num_entries = None
+        for i in range(k):
+            cam_i = pick(cam, i) if k > 1 else cam
+            bin_i = pick(bin_aux, i) if k > 1 else bin_aux
+            grad_fn = jax.value_and_grad(
+                make_loss_fn(cam_i, bin_i), argnums=(0, 1, 2, 3, 4),
+                has_aux=True)
+            (total, (losses_i, out)), grads_i = grad_fn(
+                state.params, dummy, net.app_embeddings, net.app_params,
+                net.cls_params)
+            if grads is None:
+                grads, losses = grads_i, losses_i
+                radii = out["radii"]
+                visibility = out["visibility_filter"]
+                overflow = out["overflow"].astype(jnp.float32)
+                num_entries = out["num_entries"]
+            else:
+                add = lambda a, b: None if a is None else a + b
+                grads = jax.tree.map(add, grads, grads_i,
+                                     is_leaf=lambda x: x is None)
+                losses = jax.tree.map(add, losses, losses_i)
+                radii = jnp.maximum(radii, out["radii"])
+                visibility = visibility | out["visibility_filter"]
+                overflow = jnp.maximum(
+                    overflow, out["overflow"].astype(jnp.float32))
+                num_entries = jnp.maximum(num_entries, out["num_entries"])
+        if k > 1:
+            inv = 1.0 / k
+            scale_ = lambda a: None if a is None else a * inv
+            grads = jax.tree.map(scale_, grads,
+                                 is_leaf=lambda x: x is None)
+            losses = jax.tree.map(scale_, losses)
         g_params, g_dummy, g_emb, g_app, g_cls = grads
-
-        radii = out["radii"]
-        visibility = out["visibility_filter"]
-        overflow = out["overflow"].astype(jnp.float32)
         if axis is not None:
             # ICI all-reduce of everything that feeds the replicated update
             (g_params, g_dummy, g_emb, g_app, g_cls, losses) = jax.lax.pmean(
@@ -164,6 +201,7 @@ def _make_step_impl(cfg, rcfg: RenderConfig, weights: dict,
             visibility = jax.lax.pmax(visibility.astype(jnp.int32),
                                       axis) > 0
             overflow = jax.lax.pmax(overflow, axis)
+            num_entries = jax.lax.pmax(num_entries, axis)
 
         # gaussian Adam
         g_params = GM.mask_grads(g_params, state.active)
@@ -194,15 +232,21 @@ def _make_step_impl(cfg, rcfg: RenderConfig, weights: dict,
                 cls_opt=new_opt)
 
         aux = {"overflow": overflow > 0,
-               "num_entries": out["num_entries"],
+               "num_entries": num_entries,
                "n_active": new_state.num_active}
         if next_cam is not None:
-            # binning lookahead for the NEXT camera against the post-update
-            # parameters: its sort->gather consumers then sit in the next
-            # dispatch (see ops/rasterize.BinAux)
+            # binning lookahead for the NEXT camera(s) against the
+            # post-update parameters: their sort->gather consumers then sit
+            # in the next dispatch (see ops/rasterize.BinAux)
             from ..render.renderer import compute_camera_binning
-            aux["next_bin_aux"] = compute_camera_binning(new_state, next_cam,
-                                                         rcfg)
+            if k > 1:
+                auxs = [compute_camera_binning(new_state, pick(next_cam, i),
+                                               rcfg) for i in range(k)]
+                aux["next_bin_aux"] = jax.tree.map(
+                    lambda *xs: jnp.stack(xs), *auxs)
+            else:
+                aux["next_bin_aux"] = compute_camera_binning(
+                    new_state, next_cam, rcfg)
         return new_state, new_net, losses, aux
 
     return step_impl
@@ -228,34 +272,88 @@ def make_dp_train_step(cfg, rcfg: RenderConfig, weights: dict,
                        scene_extent: float, trans, scale, num_cls: int,
                        app_tx, cls_tx, mesh, axis: str = "data"):
     """Camera-data-parallel train step over a device mesh: the state and
-    networks are replicated, the camera batch (leading dim == mesh size) is
-    sharded one-per-chip, gradients ride the ICI as a pmean (SURVEY.md §5.8's
-    stretch camera-parallel mode)."""
+    networks are replicated, the camera batch (leading dim B, a multiple of
+    the mesh size) is sharded B/mesh-per-chip, gradients ride the ICI as a
+    pmean (SURVEY.md §5.8's stretch camera-parallel mode).
+
+    Per-chip binning lookahead: pass ``next_cam`` (the NEXT camera batch,
+    same sharding) to get ``aux['next_bin_aux']`` — a per-chip-stacked
+    BinAux batch to feed back as ``bin_aux`` on the following step, keeping
+    the single-chip sort->gather dispatch-boundary optimization in the DP
+    path too."""
     from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
     impl = _make_step_impl(cfg, rcfg, weights, scene_extent, trans, scale,
                            num_cls, app_tx, cls_tx)
+    n_chips = mesh.devices.size
 
     @functools.lru_cache(maxsize=None)
-    def build(sh_degree: int, gates: Gates):
-        def local(state, net, cam_batch, bg, lr_xyz):
-            cam = jax.tree.map(lambda x: x[0], cam_batch)
-            return impl(state, net, cam, bg, lr_xyz, sh_degree=sh_degree,
-                        gates=gates, axis=axis)
+    def build(sh_degree: int, gates: Gates, k: int, has_bin: bool,
+              has_next: bool):
+        def local(state, net, cam_batch, bg, lr_xyz, bin_aux, next_cam):
+            if k == 1:
+                # drop the singleton local axis (and regain it on output)
+                cam = jax.tree.map(lambda x: x[0], cam_batch)
+                bin_ = (jax.tree.map(lambda x: x[0], bin_aux)
+                        if has_bin else None)
+                nxt = (jax.tree.map(lambda x: x[0], next_cam)
+                       if has_next else None)
+            else:
+                cam, bin_ = cam_batch, (bin_aux if has_bin else None)
+                nxt = next_cam if has_next else None
+            st, nt, losses, aux = impl(
+                state, net, cam, bg, lr_xyz, sh_degree=sh_degree,
+                gates=gates, axis=axis, bin_aux=bin_, next_cam=nxt, k=k)
+            if has_next and k == 1:
+                aux["next_bin_aux"] = jax.tree.map(
+                    lambda x: x[None], aux["next_bin_aux"])
+            return st, nt, losses, aux
 
+        aux_spec = {"overflow": P(), "num_entries": P(), "n_active": P()}
+        if has_next:
+            aux_spec["next_bin_aux"] = P(axis)
         sharded = shard_map(
             local, mesh=mesh,
-            in_specs=(P(), P(), P(axis), P(), P()),
-            out_specs=(P(), P(), P(), P()),
+            in_specs=(P(), P(), P(axis), P(), P(),
+                      P(axis) if has_bin else P(),
+                      P(axis) if has_next else P()),
+            out_specs=(P(), P(), P(), aux_spec),
             check_vma=False)
         return jax.jit(sharded)
 
     def train_step(state, net, cam_batch, bg, lr_xyz, sh_degree: int,
-                   gates: Gates):
-        return build(sh_degree, gates)(state, net, cam_batch, bg, lr_xyz)
+                   gates: Gates, bin_aux=None, next_cam=None):
+        batch = jax.tree.leaves(cam_batch)[0].shape[0]
+        if batch % n_chips:
+            raise ValueError(f"camera batch {batch} not divisible by "
+                             f"mesh size {n_chips}")
+        k = batch // n_chips
+        return build(sh_degree, gates, k, bin_aux is not None,
+                     next_cam is not None)(
+            state, net, cam_batch, bg, lr_xyz, bin_aux, next_cam)
 
     return train_step
+
+
+class _CamArraysView:
+    """Sequence of CameraArrays built on demand from host Cameras: every
+    index/iteration converts the compact (u8/f16) or lazily-decoded storage
+    to the f32 device pytree transiently — no whole-scene f32 residency."""
+
+    def __init__(self, cameras):
+        self._cams = cameras
+
+    def __len__(self):
+        return len(self._cams)
+
+    def __getitem__(self, i):
+        if isinstance(i, slice):
+            return [c.arrays() for c in self._cams[i]]
+        return self._cams[i].arrays()
+
+    def __iter__(self):
+        return (c.arrays() for c in self._cams)
 
 
 class Trainer:
@@ -288,7 +386,8 @@ class Trainer:
             load_depth=load_depth, load_normal=load_normal,
             load_mask=load_mask, normal_folder=cfg.model.normal_folder,
             depth_folder=cfg.model.depth_folder,
-            resolution=cfg.model.resolution)
+            resolution=cfg.model.resolution,
+            data_device=str(getattr(cfg.model, "data_device", "host")))
         info = self.scene
         self.extent = info.radius
         self.trans = np.asarray(info.trans, np.float32)
@@ -342,11 +441,12 @@ class Trainer:
         self.mesh = None
         if self.camera_batch > 1:
             from ..parallel import dp
-            if len(jax.devices()) < self.camera_batch:
+            mesh_size = min(len(jax.devices()), self.camera_batch)
+            if self.camera_batch % mesh_size:
                 raise ValueError(
-                    f"tpu.camera_batch={self.camera_batch} needs that many "
-                    f"devices (have {len(jax.devices())})")
-            self.mesh = dp.data_mesh(self.camera_batch)
+                    f"tpu.camera_batch={self.camera_batch} must be a "
+                    f"multiple of the mesh size {mesh_size}")
+            self.mesh = dp.data_mesh(mesh_size)
         self._build_step_fn()
         self._densify_fn = jax.jit(functools.partial(
             GM.densify_and_prune,
@@ -363,7 +463,10 @@ class Trainer:
         self.rng = random.Random(cfg.seed)
         self.losses_ema: dict[str, float] = {}
         self.history: list[dict] = []
-        self._cam_arrays = [c.arrays() for c in info.train_cameras]
+        # lazy CameraArrays view: materializes f32 stacks per access from
+        # the compact/lazy host storage instead of caching a second
+        # whole-scene f32 copy (reference data_device analog, SURVEY §7.3#7)
+        self._cam_arrays = _CamArraysView(info.train_cameras)
 
         os.makedirs(cfg.logdir, exist_ok=True)
         # run metadata the downstream stages reload (scene/__init__.py:61-73)
@@ -440,14 +543,26 @@ class Trainer:
 
     # -- main loop ----------------------------------------------------------
 
+    def _stage_dp_batch(self):
+        """Stack + shard the next camera batch over the mesh (prefetched a
+        step ahead so host->device transfer overlaps compute, like the
+        single-chip path)."""
+        from ..parallel import dp
+        cams = [self._cam_arrays[self._next_camera_index()]
+                for _ in range(self.camera_batch)]
+        return dp.shard_camera_batch(dp.stack_cameras(cams), self.mesh)
+
     def train_step(self):
         self.iteration += 1
         if self.mesh is not None:
-            from ..parallel import dp
-            cams = [self._cam_arrays[self._next_camera_index()]
-                    for _ in range(self.camera_batch)]
-            cam = dp.shard_camera_batch(dp.stack_cameras(cams), self.mesh)
-            next_cam = None
+            # camera prefetch + per-chip binning lookahead in the DP path
+            # too (round-1 gap: DP steps paid the in-program sort->gather
+            # penalty and had no transfer overlap)
+            if self._prefetched is None:
+                self._prefetched = self._stage_dp_batch()
+            cam = self._prefetched
+            self._prefetched = self._stage_dp_batch()
+            next_cam = self._prefetched
         else:
             cam = self._pick_camera()
             next_cam = self._prefetched      # the lookahead target
@@ -456,8 +571,7 @@ class Trainer:
         self.state, self.net, losses, aux = self._step_fn(
             self.state, self.net, cam, jnp.asarray(bg), self._lr_xyz(),
             sh_degree=self._sh_degree(), gates=self._gates(),
-            **({"bin_aux": self._bin_aux, "next_cam": next_cam}
-               if self.mesh is None else {}))
+            bin_aux=self._bin_aux, next_cam=next_cam)
         # binning lookahead for the next step; invalidated below by any
         # host-side geometry/shape mutation (densify, prune, capacity or
         # entry-budget growth) — opacity resets and SH warmup keep it valid
