@@ -111,6 +111,13 @@ def main():
         "value": round(its, 3),
         "unit": "iters/sec (100k gaussians, 800x600, D-Normal recipe)",
         "vs_baseline": round(its / A100_BASELINE_ITERS_PER_S, 3),
+        # the A100 figure is an ASSUMPTION (reference publishes no numbers,
+        # BASELINE.md): 15 it/s ~ typical 3DGS-fork wandb time/iteration
+        "baseline_assumed": True,
+        "baseline_iters_per_s": A100_BASELINE_ITERS_PER_S,
+        # BASELINE.md's derived rasterizer metric: H*W / iter-time, i.e.
+        # full fwd+bwd+losses+Adam pixel throughput
+        "rasterizer_mpix_per_s": round(WIDTH * HEIGHT * its / 1e6, 2),
     }))
 
 

@@ -69,6 +69,15 @@ def main():
     n_verts = len(mesh["x"])
     assert n_verts > 5000, f"mesh too small: {n_verts} verts"
 
+    # unbounded (mip-360 contracted grid) path on-chip — round-1 validated
+    # only the bounded grid on hardware (tools/mesh_utils.py:168-276)
+    run([py, "depth2mesh.py", f"--cfg_path={logdir}/config.yaml",
+         "--unbounded", "--resolution=160", "--mesh_name=ours_unbounded"])
+    mesh_u = read_ply(os.path.join(logdir, "ours_unbounded.ply"))
+    n_verts_u = len(mesh_u["x"])
+    assert n_verts_u > 2000, f"unbounded mesh too small: {n_verts_u} verts"
+    print(f"unbounded mesh: {n_verts_u} verts", flush=True)
+
     # geometry: bidirectional Chamfer of the extracted mesh against the
     # fixture's known cube surface (the scene's GT), through the same
     # nn_distances machinery the DTU protocol uses

@@ -61,6 +61,12 @@ def test_cli_pipeline(pipeline_dirs):
     d = read_ply(mesh)
     assert len(d["x"]) > 50
 
+    # stage 2b: unbounded (mip-360 contraction) meshing from the same run
+    run_cli("depth2mesh.py", f"--cfg_path={logdir}/config.yaml",
+            "--unbounded", "--resolution=96", "--mesh_name=ours_unbounded")
+    du = read_ply(os.path.join(logdir, "ours_unbounded.ply"))
+    assert len(du["x"]) > 50
+
     # stage 3: NVS render + metrics (no test split in the tiny scene ->
     # evaluate the train renders, the 360 pipeline protocol)
     run_cli("render_eval.py", f"--cfg_path={logdir}/config.yaml")

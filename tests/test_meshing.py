@@ -104,3 +104,52 @@ def test_tsdf_sphere_fusion():
     radii = np.linalg.norm(verts, axis=1)
     np.testing.assert_allclose(radii.mean(), r, atol=0.02)
     assert radii.std() < 0.03
+
+
+def test_tsdf_contracted_sphere_fusion():
+    """Same sphere recovery through the mip-360 contracted grid (unbounded
+    path, tools/mesh_utils.py:168-276): integrate in contracted coords,
+    extract, inverse-contract — the surface radius must survive the
+    round-trip."""
+    import jax.numpy as jnp
+
+    from fixtures import ring_cameras
+    from vcr_gaus_tpu.utils import graphics as G
+
+    r = 0.5
+    # cameras at dist 3 -> bounding-sphere radius ~3.3 normalizes the world
+    grid = T.create_contracted_grid(center=np.zeros(3), radius=1.2,
+                                    resolution=96)
+    w, h = 64, 64
+    fovx = fovy = 0.8
+    fx = G.fov2focal(fovx, w)
+    intr = jnp.asarray([fx, G.fov2focal(fovy, h), w / 2, h / 2])
+
+    for R_w2c, Tv in ring_cameras(n_cams=8, dist=3.0, h=0.0):
+        view = np.eye(4, dtype=np.float32)
+        view[:3, :3] = R_w2c
+        view[:3, 3] = Tv
+        K = np.asarray([[float(intr[0]), 0, w / 2],
+                        [0, float(intr[1]), h / 2], [0, 0, 1]], np.float32)
+        dirs = np.asarray(G.pixel_dirs(jnp.asarray(K), h, w))
+        c2w = np.linalg.inv(view)
+        o = c2w[:3, 3]
+        d_world = dirs @ c2w[:3, :3].T
+        b = 2 * (d_world @ o)
+        c = o @ o - r * r
+        disc = b * b - 4 * c
+        t = np.where(disc > 0, (-b - np.sqrt(np.maximum(disc, 0))) / 2, 0)
+        depth = np.where(disc > 0, t * dirs[..., 2], 0).astype(np.float32)
+        grid = T.integrate(grid, jnp.asarray(depth), jnp.asarray(view.T),
+                           intr, contracted=True)
+
+    verts, faces = T.extract_mesh(grid, min_weight=1.0, n_clusters=1)
+    assert len(verts) > 200
+    radii = np.linalg.norm(verts, axis=1)
+    np.testing.assert_allclose(radii.mean(), r, atol=0.05)
+    assert radii.std() < 0.05
+    # contraction round-trip sanity at the API level
+    y = np.asarray(T.contract(jnp.asarray([[3.0, 0, 0]])))
+    assert np.linalg.norm(y) < 2.0
+    back = np.asarray(T.inv_contract(jnp.asarray(y)))
+    np.testing.assert_allclose(back, [[3.0, 0, 0]], atol=1e-4)
