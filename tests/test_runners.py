@@ -96,6 +96,27 @@ def test_run_tnt_pipeline_with_voxel_ladder(tmp_path):
     assert "F-score" in res["per_scene"]["TestScene"]
 
     # check_finish: a missing point_cloud/ gate aborts the scene cleanly
+    _check_finish_case(tmp_path, data_root)
+
+
+def test_runner_dry_runs(tmp_path):
+    """Command templating of the remaining runners (no training): stage
+    commands printed per scene in order."""
+    for script, extra, stages in (
+            ("scripts/run_mipnerf360.py", [], ["train.py", "render_eval.py"]),
+            ("scripts/run_scannetpp.py", ["--parallel", "2"],
+             ["train.py", "depth2mesh.py", "render_eval.py"])):
+        d = tmp_path / os.path.basename(script)
+        for s in ("sceneA", "sceneB"):
+            (d / s).mkdir(parents=True)
+        r = run_script(script, "--data_root", str(d),
+                       "--out", str(tmp_path / "out"), "--dry",
+                       "--scenes", "sceneA", "sceneB", *extra)
+        for stage in stages:
+            assert r.stdout.count(stage) == 2, (script, stage, r.stdout)
+
+
+def _check_finish_case(tmp_path, data_root):
     bad_out = tmp_path / "out_bad"
     r2 = run_script(
         "scripts/run_tnt.py", "--data_root", str(data_root),
