@@ -70,9 +70,13 @@ def main():
     cfg = default_config()
     weights = {"l1": 0.8, "ssim": 0.2, "mono_normal": 0.01,
                "depth_normal": 0.015, "l1_scale": 1.0}
+    # entry budget = the trainer's right-sizer steady state for this scene:
+    # measured peak ~348k (gaussian,tile) entries over the 8 cameras, +25%
+    # headroom, quantized to 64k slots (trainer.train_step right-sizing) —
+    # the binning sort / entry gather / grad segment-sum all scale with it
     rcfg = RenderConfig(width=WIDTH, height=HEIGHT, ch_sem=0,
                         depth_mode="intersection",
-                        entry_budget=1 << 19, mask_depth_thr=0.8)
+                        entry_budget=7 << 16, mask_depth_thr=0.8)
     step = make_train_step(cfg, rcfg, weights, 4.0,
                            np.zeros(3, np.float32),
                            np.full(3, 4.0, np.float32), 0, None, None)

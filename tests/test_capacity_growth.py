@@ -56,8 +56,8 @@ def test_trainer_grows_on_overflow(tmp_path):
 
 
 def test_trainer_shrinks_oversized_budget(tmp_path):
-    """Entry-budget right-sizing: with >=4x sustained headroom the budget
-    halves (and cannot oscillate: the halved budget keeps >=2x headroom)."""
+    """Entry-budget right-sizing: a sustained window re-pins the budget to
+    the observed peak + 25% headroom, quantized to 64k slots (floor 64k)."""
     import sys
     sys.path.insert(0, "tests")
     from fixtures import write_colmap_scene
@@ -77,7 +77,8 @@ def test_trainer_shrinks_oversized_budget(tmp_path):
     tr._entries_window = 198               # window closes on the 2nd step
     tr.train_step()
     tr.train_step()
-    assert tr.rcfg.entry_budget == (1 << 17)
+    # tiny scene: peak entries << 64k, so the budget lands on the 64k floor
+    assert tr.rcfg.entry_budget == (1 << 16)
     assert tr._entries_window == 0 and tr._entries_peak == 0
 
 

@@ -593,21 +593,27 @@ class Trainer:
             if bool(jnp.any(self._ovf_dev)):
                 self._grow_entry_budget()
                 self._bin_aux = None
+                # a fresh full window must pass before any shrink, so a
+                # grow->shrink ping-pong needs the per-window peak itself to
+                # swing, not just the truncated pre-growth observations
+                self._entries_peak = 0
+                self._entries_window = 0
             else:
-                # entry-budget right-sizing: binning cost (sort/fill/gather)
-                # scales with the STATIC budget, so shrink it when the
-                # observed peak leaves >=4x headroom for a sustained window
-                # (pruning and the opacity-aware tight extents both reduce
-                # entries mid-run); the halved budget keeps >=2x headroom,
-                # so grow/shrink cannot oscillate
+                # entry-budget right-sizing: binning cost (sort/gather/
+                # segment-sum) scales with the STATIC budget, so re-pin it to
+                # the sustained observed peak + 25% headroom, quantized to
+                # 64k slots (bounds distinct compiled shapes to a handful per
+                # run). Growth on overflow stays 2x; with >=1.25x headroom
+                # over a full 200-step window's peak, oscillation requires
+                # the scene's true entry demand to swing >25% per window
                 self._entries_peak = max(self._entries_peak,
                                          int(jnp.max(self._ne_dev)))
                 self._entries_window += interval
                 if self._entries_window >= 200:
-                    budget = self.rcfg.entry_budget
-                    if (budget > (1 << 16)
-                            and self._entries_peak * 4 <= budget):
-                        self._set_entry_budget(budget // 2)
+                    q = 1 << 16
+                    target = max(q, -(-(self._entries_peak * 5 // 4) // q) * q)
+                    if target < self.rcfg.entry_budget:
+                        self._set_entry_budget(target)
                         self._bin_aux = None
                     self._entries_peak = 0
                     self._entries_window = 0
