@@ -25,7 +25,8 @@ A100_BASELINE_ITERS_PER_S = 15.0
 N_GAUSSIANS = 100_000
 CAPACITY = 131_072
 WIDTH, HEIGHT = 800, 600
-WARMUP, ITERS = 10, 50
+STEPS_PER_CALL = 10            # supersteps: iterations per XLA dispatch
+WARMUP, ITERS = 3, 10          # in supersteps (30 / 100 iterations)
 
 
 def main():
@@ -35,7 +36,8 @@ def main():
     from vcr_gaus_tpu.data.cameras import Camera
     from vcr_gaus_tpu.models import gaussians as GM
     from vcr_gaus_tpu.render.renderer import RenderConfig
-    from vcr_gaus_tpu.train.trainer import Gates, NetState, make_train_step
+    from vcr_gaus_tpu.train.trainer import (Gates, NetState,
+                                            make_multi_train_step)
     from vcr_gaus_tpu.config import default_config
 
     rng = np.random.default_rng(0)
@@ -77,22 +79,36 @@ def main():
     rcfg = RenderConfig(width=WIDTH, height=HEIGHT, ch_sem=0,
                         depth_mode="intersection",
                         entry_budget=7 << 16, mask_depth_thr=0.8)
-    step = make_train_step(cfg, rcfg, weights, 4.0,
-                           np.zeros(3, np.float32),
-                           np.full(3, 4.0, np.float32), 0, None, None)
+    # superstep dispatch (tpu.steps_per_call = 10, the configs/
+    # reconstruct.yaml recipe default): K iterations chained in one XLA
+    # program via lax.scan, so per-step dispatch overhead is paid once per
+    # K steps (see trainer.make_multi_train_step)
+    step = make_multi_train_step(cfg, rcfg, weights, 4.0,
+                                 np.zeros(3, np.float32),
+                                 np.full(3, 4.0, np.float32), 0, None, None,
+                                 k=STEPS_PER_CALL)
     net = NetState(None, None, None, None, None)
     gates = Gates(True, True, False, False, True)
-    bg = jnp.zeros(3)
-    lr = jnp.asarray(1.6e-4)
+    bgs = jnp.zeros((STEPS_PER_CALL, 3))
+    lrs = jnp.full((STEPS_PER_CALL,), 1.6e-4, jnp.float32)
 
-    # binning lookahead (the Trainer's steady-state loop): each step consumes
-    # the previous step's binning and produces the next camera's
+    def batch(s):
+        # the s-th superstep's camera stack (cycling the 8-camera pool)
+        return jax.tree.map(
+            lambda *xs: jnp.stack(xs),
+            *[cams[(s * STEPS_PER_CALL + j) % 8]
+              for j in range(STEPS_PER_CALL)])
+
+    batches = [batch(s) for s in range(8)]   # covers all phases of the pool
+
+    # binning lookahead (the Trainer's steady-state loop): each superstep
+    # consumes the previous one's stacked binning and produces the next's
     bin_aux = None
-    for i in range(WARMUP):
-        state, net, losses, aux = step(state, net, cams[i % 8], bg, lr,
+    for s in range(WARMUP):
+        state, net, losses, aux = step(state, net, batches[s % 8], bgs, lrs,
                                        sh_degree=3, gates=gates,
                                        bin_aux=bin_aux,
-                                       next_cam=cams[(i + 1) % 8])
+                                       next_cams=batches[(s + 1) % 8])
         bin_aux = aux.pop("next_bin_aux")
     # NB block_until_ready does not synchronize on tunneled backends; a
     # scalar device->host fetch is the only reliable fence.
@@ -100,14 +116,14 @@ def main():
     assert not bool(aux["overflow"]), "entry budget overflow in bench"
 
     t0 = time.time()
-    for i in range(ITERS):
-        state, net, losses, aux = step(state, net, cams[i % 8], bg, lr,
+    for s in range(ITERS):
+        state, net, losses, aux = step(state, net, batches[s % 8], bgs, lrs,
                                        sh_degree=3, gates=gates,
                                        bin_aux=bin_aux,
-                                       next_cam=cams[(i + 1) % 8])
+                                       next_cams=batches[(s + 1) % 8])
         bin_aux = aux.pop("next_bin_aux")
     _ = float(losses["total"])
-    dt = (time.time() - t0) / ITERS
+    dt = (time.time() - t0) / (ITERS * STEPS_PER_CALL)
     its = 1.0 / dt
 
     print(json.dumps({
@@ -122,6 +138,9 @@ def main():
         # BASELINE.md's derived rasterizer metric: H*W / iter-time, i.e.
         # full fwd+bwd+losses+Adam pixel throughput
         "rasterizer_mpix_per_s": round(WIDTH * HEIGHT * its / 1e6, 2),
+        # iterations chained per XLA dispatch (the reconstruct.yaml recipe
+        # default, trainer.make_multi_train_step)
+        "steps_per_call": STEPS_PER_CALL,
     }))
 
 

@@ -55,6 +55,10 @@ def main():
          f"--optim.densify_until_iter={max(400, it - 200)}",
          "--optim.densification_interval=100",
          "--tpu.capacity=8192",
+         # superstep dispatch (the reconstruct.yaml recipe default):
+         # hardware-validates the lax.scan multi-step path + its fallback
+         # scheduling around densify/test/save boundaries
+         "--tpu.steps_per_call=10",
          f"--train.save_iterations=[{it}]",
          f"--train.checkpoint_iterations=[{it}]",
          f"--train.test_iterations=[{it // 2},{it}]"])

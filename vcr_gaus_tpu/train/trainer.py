@@ -268,6 +268,61 @@ def make_train_step(cfg, rcfg: RenderConfig, weights: dict,
     return train_step
 
 
+def make_multi_train_step(cfg, rcfg: RenderConfig, weights: dict,
+                          scene_extent: float, trans, scale, num_cls: int,
+                          app_tx, cls_tx, k: int):
+    """k sequential train steps chained in ONE XLA program via lax.scan.
+
+    Per-step dispatch (host->device program launch + the control round-trip,
+    ~5 ms through the dev tunnel, ~0.1-0.5 ms in production) is paid once
+    per k steps. The scan body is the SAME step_impl as make_train_step, so
+    the math per iteration is identical; the only semantic delta is binning
+    staleness — step i of a superstep consumes the BinAux produced by step i
+    of the PREVIOUS superstep, so tile assignments lag k steps instead of 1.
+    Position drift per Adam step is <<1 px and rects round outward to tile
+    boundaries (~8 px expected slack), so k<=16 is comfortably safe; the
+    on-chip e2e gate validates training quality with k=10.
+
+    Inputs carry a leading step axis of size k: cams/bin_aux/next_cams are
+    stacked pytrees, bgs (k,3), lrs (k,). ``bin_aux=None`` (first superstep
+    or post-invalidation) falls back to in-program binning for every step.
+    Returns last-step losses and a reduced aux (overflow any-of, num_entries
+    max-of) plus the stacked next_bin_aux for the following superstep."""
+    impl = _make_step_impl(cfg, rcfg, weights, scene_extent, trans, scale,
+                           num_cls, app_tx, cls_tx)
+
+    @functools.partial(jax.jit, static_argnames=("sh_degree", "gates"))
+    def multi_step(state, net, cams, bgs, lrs, sh_degree: int, gates: Gates,
+                   bin_aux=None, next_cams=None):
+        has_bin = bin_aux is not None
+
+        def body(carry, xs):
+            st, nt = carry
+            if has_bin:
+                cam, bg, lr, ba, nc = xs
+            else:
+                cam, bg, lr, nc = xs
+                ba = None
+            st, nt, losses, aux = impl(st, nt, cam, bg, lr,
+                                       sh_degree=sh_degree, gates=gates,
+                                       bin_aux=ba, next_cam=nc)
+            nba = aux.pop("next_bin_aux")
+            return (st, nt), (losses, aux, nba)
+
+        xs = ((cams, bgs, lrs, bin_aux, next_cams) if has_bin
+              else (cams, bgs, lrs, next_cams))
+        (state, net), (losses_k, aux_k, nba_k) = jax.lax.scan(
+            body, (state, net), xs)
+        losses = jax.tree.map(lambda x: x[-1], losses_k)
+        aux = {"overflow": jnp.any(aux_k["overflow"]),
+               "num_entries": jnp.max(aux_k["num_entries"]),
+               "n_active": aux_k["n_active"][-1],
+               "next_bin_aux": nba_k}
+        return state, net, losses, aux
+
+    return multi_step
+
+
 def make_dp_train_step(cfg, rcfg: RenderConfig, weights: dict,
                        scene_extent: float, trans, scale, num_cls: int,
                        app_tx, cls_tx, mesh, axis: str = "data"):
@@ -438,6 +493,8 @@ class Trainer:
                             cls_opt)
 
         self.camera_batch = max(int(getattr(cfg.tpu, "camera_batch", 1)), 1)
+        self.steps_per_call = max(
+            int(getattr(cfg.tpu, "steps_per_call", 1)), 1)
         self.mesh = None
         if self.camera_batch > 1:
             from ..parallel import dp
@@ -482,6 +539,10 @@ class Trainer:
         self.test_history: list[dict] = []
         self._prefetched = None
         self._bin_aux = None
+        self._bin_aux_k = None
+        self._staged = None
+        self._last_fetch_iter = 0
+        self._max_iters = int(cfg.optim.iterations)
         self._entries_peak = 0
         self._entries_window = 0
         self._ovf_dev = None
@@ -503,13 +564,14 @@ class Trainer:
 
     # -- schedule helpers --------------------------------------------------
 
-    def _sh_degree(self) -> int:
+    def _sh_degree(self, it: int | None = None) -> int:
         """SH warmup: +1 every 1000 iters (trainer.py:402-404)."""
-        return min(self.iteration // 1000, self.cfg.model.sh_degree)
+        it = self.iteration if it is None else it
+        return min(it // 1000, self.cfg.model.sh_degree)
 
-    def _gates(self) -> Gates:
+    def _gates(self, it: int | None = None) -> Gates:
         o = self.cfg.optim
-        it = self.iteration
+        it = self.iteration if it is None else it
         return Gates(
             mono_normal=it > o.normal_from_iter,
             depth_normal=it > o.dnormal_from_iter,
@@ -517,9 +579,10 @@ class Trainer:
             consistent_normal=it > o.consistent_normal_from_iter,
             close_depth=it > o.close_depth_from_iter)
 
-    def _lr_xyz(self):
+    def _lr_xyz(self, it: int | None = None):
         o = self.cfg.optim
-        return M.expon_lr(self.iteration, o.position_lr_init * self.extent,
+        it = self.iteration if it is None else it
+        return M.expon_lr(it, o.position_lr_init * self.extent,
                           o.position_lr_final * self.extent,
                           max_steps=o.position_lr_max_steps)
 
@@ -534,11 +597,13 @@ class Trainer:
         is issued before this step's compute is dispatched, so the (large)
         image upload overlaps the previous step on device."""
         if self._prefetched is None:
-            self._prefetched = jax.device_put(
-                self._cam_arrays[self._next_camera_index()])
+            idx = self._next_camera_index()
+            self._prefetched = jax.device_put(self._cam_arrays[idx])
+            self._prefetched_idx = idx
         cam = self._prefetched
-        self._prefetched = jax.device_put(
-            self._cam_arrays[self._next_camera_index()])
+        idx = self._next_camera_index()
+        self._prefetched = jax.device_put(self._cam_arrays[idx])
+        self._prefetched_idx = idx
         return cam
 
     # -- main loop ----------------------------------------------------------
@@ -552,7 +617,107 @@ class Trainer:
                 for _ in range(self.camera_batch)]
         return dp.shard_camera_batch(dp.stack_cameras(cams), self.mesh)
 
+    def _invalidate_binning(self):
+        """Drop the lookahead binning (both the single-step and the stacked
+        superstep form) after any geometry/shape mutation."""
+        self._bin_aux = None
+        self._bin_aux_k = None
+
+    def _is_action_iter(self, j: int) -> bool:
+        """Does the host act after step j (densify/opacity-reset/prune/test/
+        save/checkpoint/final)? Mirrors _post_step_actions + train()'s
+        triggers — supersteps must not straddle these."""
+        o = self.cfg.optim
+        t = self.cfg.train
+        if j == int(o.iterations) or j >= self._max_iters:
+            return True
+        for lst in (t.test_iterations, t.save_iterations,
+                    t.checkpoint_iterations, o.prune.iterations):
+            if j in list(lst):
+                return True
+        if j < o.densify_until_iter:
+            if j > o.densify_from_iter and j % o.densification_interval == 0:
+                return True
+            if j % o.opacity_reset_interval == 0 or (
+                    self.cfg.model.white_background
+                    and j == o.densify_from_iter):
+                return True
+        return False
+
+    def _multi_window_ok(self, k: int) -> bool:
+        """True when iterations [it+1, it+k] can run as ONE superstep: no
+        interior host action (the final step it+k MAY have one — it runs
+        after the program returns) and constant trace statics (gates and SH
+        degree are monotone in the iteration, so endpoint equality implies
+        constancy over the window)."""
+        it = self.iteration
+        if it + k > self._max_iters:
+            return False
+        if any(self._is_action_iter(j) for j in range(it + 1, it + k)):
+            return False
+        return (self._gates(it + 1) == self._gates(it + k)
+                and self._sh_degree(it + 1) == self._sh_degree(it + k))
+
+    def _stage_camera_stack(self, k: int):
+        """Sample + stack + device_put the next k cameras (one async
+        transfer, issued while the current superstep computes on device)."""
+        from ..parallel import dp
+        idxs = [self._next_camera_index() for _ in range(k)]
+        stack = dp.stack_cameras([self._cam_arrays[i] for i in idxs])
+        return idxs, jax.device_put(stack)
+
+    def _requeue_staged(self):
+        """Un-consume the sampled indices of an abandoned staged superstep
+        batch (mode switch around a host event) so epoch sampling stays
+        without-replacement; the device arrays are dropped."""
+        idxs, _ = self._staged
+        self.viewpoint_stack.extend(idxs)
+        self._staged = None
+
+    def _train_superstep(self, k: int):
+        """k iterations in ONE dispatch (make_multi_train_step): per-step
+        dispatch overhead is paid once per k steps. Only taken when
+        _multi_window_ok — the host tail then runs once, at the superstep's
+        final iteration."""
+        it0 = self.iteration
+        iters = range(it0 + 1, it0 + k + 1)
+        if self._prefetched is not None:
+            # return the single-step path's prefetched camera to the epoch
+            # pool (mode switch); its device copy is dropped
+            if self._prefetched_idx is not None:
+                self.viewpoint_stack.append(self._prefetched_idx)
+            self._prefetched = None
+            self._prefetched_idx = None
+        if self._staged is None:
+            self._staged = self._stage_camera_stack(k)
+        _, cams = self._staged
+        self._staged = self._stage_camera_stack(k)   # next superstep's batch
+        _, next_cams = self._staged                  # = this one's lookahead
+        o = self.cfg.optim
+        if o.random_background:
+            bgs = np.stack([np.random.default_rng(j).random(3).astype(
+                np.float32) for j in iters])
+        else:
+            bgs = np.broadcast_to(self.bg, (k, 3)).astype(np.float32)
+        lrs = np.asarray([self._lr_xyz(j) for j in iters], np.float32)
+        self.iteration = it0 + k
+        self.state, self.net, losses, aux = self._multi_step_fn(
+            self.state, self.net, cams, jnp.asarray(bgs), jnp.asarray(lrs),
+            sh_degree=self._sh_degree(it0 + 1), gates=self._gates(it0 + 1),
+            bin_aux=self._bin_aux_k, next_cams=next_cams)
+        self._bin_aux_k = aux.pop("next_bin_aux")
+        self._accumulate_overflow(aux)
+        self._maybe_react_overflow()
+        self._post_step_actions()
+        return losses, aux
+
     def train_step(self):
+        k = self.steps_per_call
+        if k > 1 and self.mesh is None and self._multi_window_ok(k):
+            return self._train_superstep(k)
+        if self._staged is not None:
+            self._requeue_staged()
+        self._bin_aux_k = None
         self.iteration += 1
         if self.mesh is not None:
             # camera prefetch + per-chip binning lookahead in the DP path
@@ -577,49 +742,61 @@ class Trainer:
         # entry-budget growth) — opacity resets and SH warmup keep it valid
         self._bin_aux = aux.pop("next_bin_aux", None)
 
-        # defer the overflow/entry-count HOST fetch: a per-step bool() fetch
-        # is a device->host round-trip that serializes async dispatch (and
-        # rides the control tunnel on this backend). Overflow/num_entries
-        # accumulate DEVICE-side (lazy | and max, no sync) and are fetched
-        # every `overflow_check_interval` steps; an unreacted overflow step
-        # renders mis-binned but in-bounds (ops/binning.py contract), so a
-        # bounded reaction delay only costs a few noisy gradients.
+        self._accumulate_overflow(aux)
+        self._maybe_react_overflow()
+        self._post_step_actions()
+        return losses, aux
+
+    def _accumulate_overflow(self, aux):
+        """Defer the overflow/entry-count HOST fetch: a per-step bool() fetch
+        is a device->host round-trip that serializes async dispatch (and
+        rides the control tunnel on this backend). Overflow/num_entries
+        accumulate DEVICE-side (lazy | and max, no sync) and are fetched
+        every `overflow_check_interval` iterations; an unreacted overflow
+        step renders mis-binned but in-bounds (ops/binning.py contract), so
+        a bounded reaction delay only costs a few noisy gradients."""
         self._ovf_dev = (aux["overflow"] if self._ovf_dev is None
                          else self._ovf_dev | aux["overflow"])
         self._ne_dev = (aux["num_entries"] if self._ne_dev is None
                         else jnp.maximum(self._ne_dev, aux["num_entries"]))
+
+    def _maybe_react_overflow(self):
         interval = int(getattr(self.cfg.tpu, "overflow_check_interval", 10))
-        if self.iteration % interval == 0:
-            if bool(jnp.any(self._ovf_dev)):
-                self._grow_entry_budget()
-                self._bin_aux = None
-                # a fresh full window must pass before any shrink, so a
-                # grow->shrink ping-pong needs the per-window peak itself to
-                # swing, not just the truncated pre-growth observations
+        advance = self.iteration - self._last_fetch_iter
+        if advance < interval:
+            return
+        self._last_fetch_iter = self.iteration
+        if bool(jnp.any(self._ovf_dev)):
+            self._grow_entry_budget()
+            self._invalidate_binning()
+            # a fresh full window must pass before any shrink, so a
+            # grow->shrink ping-pong needs the per-window peak itself to
+            # swing, not just the truncated pre-growth observations
+            self._entries_peak = 0
+            self._entries_window = 0
+        else:
+            # entry-budget right-sizing: binning cost (sort/gather/
+            # segment-sum) scales with the STATIC budget, so re-pin it to
+            # the sustained observed peak + 25% headroom, quantized to
+            # 64k slots (bounds distinct compiled shapes to a handful per
+            # run). Growth on overflow stays 2x; with >=1.25x headroom
+            # over a full 200-step window's peak, oscillation requires
+            # the scene's true entry demand to swing >25% per window
+            self._entries_peak = max(self._entries_peak,
+                                     int(jnp.max(self._ne_dev)))
+            self._entries_window += advance
+            if self._entries_window >= 200:
+                q = 1 << 16
+                target = max(q, -(-(self._entries_peak * 5 // 4) // q) * q)
+                if target < self.rcfg.entry_budget:
+                    self._set_entry_budget(target)
+                    self._invalidate_binning()
                 self._entries_peak = 0
                 self._entries_window = 0
-            else:
-                # entry-budget right-sizing: binning cost (sort/gather/
-                # segment-sum) scales with the STATIC budget, so re-pin it to
-                # the sustained observed peak + 25% headroom, quantized to
-                # 64k slots (bounds distinct compiled shapes to a handful per
-                # run). Growth on overflow stays 2x; with >=1.25x headroom
-                # over a full 200-step window's peak, oscillation requires
-                # the scene's true entry demand to swing >25% per window
-                self._entries_peak = max(self._entries_peak,
-                                         int(jnp.max(self._ne_dev)))
-                self._entries_window += interval
-                if self._entries_window >= 200:
-                    q = 1 << 16
-                    target = max(q, -(-(self._entries_peak * 5 // 4) // q) * q)
-                    if target < self.rcfg.entry_budget:
-                        self._set_entry_budget(target)
-                        self._bin_aux = None
-                    self._entries_peak = 0
-                    self._entries_window = 0
-            self._ovf_dev = None
-            self._ne_dev = None
+        self._ovf_dev = None
+        self._ne_dev = None
 
+    def _post_step_actions(self):
         o = self.cfg.optim
         it = self.iteration
         if it < o.densify_until_iter:
@@ -628,7 +805,7 @@ class Trainer:
                 box_mask = self._box_densify_mask()
                 self.state, dropped = self._densify_fn(
                     self.state, box_mask=box_mask, max_screen_size=size_thr)
-                self._bin_aux = None
+                self._invalidate_binning()
                 if int(dropped) > 0:
                     self._grow_capacity(int(dropped))
             if it % o.opacity_reset_interval == 0 or (
@@ -638,16 +815,21 @@ class Trainer:
         if it in list(o.prune.iterations):
             self.light_gaussian_prune(
                 list(o.prune.iterations).index(it))
-            self._bin_aux = None
-        return losses, aux
+            self._invalidate_binning()
 
     def train(self, max_iters: int | None = None, log_every: int = 50):
         max_iters = max_iters or self.cfg.optim.iterations
+        self._max_iters = int(max_iters)   # superstep window bound
         t0 = time.time()
+        last_log = self.iteration
         while self.iteration < max_iters:
             self._gui_pump()
             losses, aux = self.train_step()
-            if self.iteration % log_every == 0 or self.iteration == max_iters:
+            # distance-based boundary: a superstep may jump past an exact
+            # `% log_every == 0` iteration
+            if (self.iteration - last_log >= log_every
+                    or self.iteration == max_iters):
+                last_log = self.iteration
                 rec = {k: float(v) for k, v in losses.items()}
                 rec.update(iter=self.iteration,
                            n_active=int(aux["n_active"]),
@@ -811,7 +993,7 @@ class Trainer:
         """Resume from a full checkpoint (the reference's
         --train.start_checkpoint, trainer.py:169-172)."""
         self.state, self.iteration, extra = ply_io.load_checkpoint(path)
-        self._bin_aux = None
+        self._invalidate_binning()
         if extra.get("net") and any(v is not None
                                     for v in extra["net"].values()):
             self.net = NetState(**extra["net"])
@@ -851,10 +1033,14 @@ class Trainer:
     def _build_step_fn(self):
         args = (self.cfg, self.rcfg, self.weights, self.extent, self.trans,
                 self.scale, self.cfg.model.num_cls, self.app_tx, self.cls_tx)
+        self._multi_step_fn = None
         if self.mesh is not None:
             self._step_fn = make_dp_train_step(*args, mesh=self.mesh)
         else:
             self._step_fn = make_train_step(*args)
+            if self.steps_per_call > 1:
+                self._multi_step_fn = make_multi_train_step(
+                    *args, k=self.steps_per_call)
 
     # -- box-guided densification (trainer.py:361-368, 687-702) --------------
 
