@@ -1,8 +1,12 @@
 #!/usr/bin/env python
 """Stage-level timing of the training step on the current backend.
 
-Times (separately jitted): binning+perm, raster forward, raster fwd+bwd via
-grad, loss stack fwd+bwd, and the full train step — to direct kernel work.
+Every stage is timed INSIDE a lax.scan chain (k iterations per dispatch,
+data dependency threaded through the carry), so the numbers are honest
+device times even on tunneled backends where per-dispatch overhead and
+async pipelining poison one-jit-per-call timing. Stage index provenance
+matches production: precomputed BinAux enters as scan xs (program inputs),
+exactly like the superstep trainer.
 
   python scripts/profile_step.py [--n 100000] [--w 800] [--h 600]
 """
@@ -16,20 +20,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
-
-def timeit(fn, *args, warmup=5, iters=20, **kw):
-    import jax
-    for _ in range(warmup):
-        out = fn(*args, **kw)
-    jax.block_until_ready(out)
-    # tunneled backends need a host fetch as fence
-    np.asarray(jax.tree.leaves(out)[0]).ravel()[:1]
-    t0 = time.time()
-    for _ in range(iters):
-        out = fn(*args, **kw)
-    jax.block_until_ready(out)
-    np.asarray(jax.tree.leaves(out)[0]).ravel()[:1]
-    return (time.time() - t0) / iters * 1e3
+EPS = 1e-20
 
 
 def main():
@@ -37,7 +28,9 @@ def main():
     ap.add_argument("--n", type=int, default=100_000)
     ap.add_argument("--w", type=int, default=800)
     ap.add_argument("--h", type=int, default=600)
-    ap.add_argument("--budget", type=int, default=1 << 19)
+    ap.add_argument("--budget", type=int, default=7 << 16)
+    ap.add_argument("--k", type=int, default=8, help="scan length")
+    ap.add_argument("--iters", type=int, default=4)
     args = ap.parse_args()
 
     import jax
@@ -46,10 +39,45 @@ def main():
     from vcr_gaus_tpu.config import default_config
     from vcr_gaus_tpu.data.cameras import Camera
     from vcr_gaus_tpu.models import gaussians as GM
+    from vcr_gaus_tpu.ops import projection as PF
     from vcr_gaus_tpu.ops import rasterize as R
+    from vcr_gaus_tpu.ops import rasterize_tpu as K
+    from vcr_gaus_tpu.ops import binning as B
     from vcr_gaus_tpu.render import renderer as RR
     from vcr_gaus_tpu.render.renderer import RenderConfig, render
-    from vcr_gaus_tpu.train.trainer import Gates, NetState, make_train_step
+    from vcr_gaus_tpu.train.trainer import (Gates, NetState,
+                                            _make_step_impl)
+
+    kk, iters = args.k, args.iters
+
+    def dep(c, *outs):
+        """Fold a data dependency on `outs` into carry `c` (cheap)."""
+        s = sum(jnp.sum(o).astype(jnp.float32) for o in outs
+                if o is not None)
+        return jax.tree.map(
+            lambda x: x + (EPS * s).astype(x.dtype)
+            if jnp.issubdtype(x.dtype, jnp.floating) else x, c)
+
+    def scan_time(label, body, carry0, xs=None):
+        """body: (carry, x) -> carry. Prints ms/iter of pure device time."""
+        @jax.jit
+        def run(c, xs):
+            def f(c, x):
+                return body(c, x), 0.0
+            c, _ = jax.lax.scan(f, c, xs, length=None if xs is not None
+                                else kk)
+            return sum(jnp.sum(x).astype(jnp.float32)
+                       for x in jax.tree.leaves(c)
+                       if jnp.issubdtype(x.dtype, jnp.floating))
+        s = run(carry0, xs)
+        _ = float(s)
+        t0 = time.time()
+        for _ in range(iters):
+            s = run(carry0, xs)
+        _ = float(s)
+        ms = (time.time() - t0) / (iters * kk) * 1e3
+        print(f"{label:34s} {ms:7.2f} ms")
+        return ms
 
     rng = np.random.default_rng(0)
     n = args.n
@@ -72,58 +100,127 @@ def main():
                         depth_mode="intersection",
                         entry_budget=args.budget, mask_depth_thr=0.8)
     bg = jnp.zeros(3)
+    print(f"n={n} cap={cap} {args.w}x{args.h} budget={args.budget} "
+          f"scan k={kk} x {iters}")
 
-    # --- stage: geometry projection + binning + perm (the lookahead) ---
-    prep = jax.jit(lambda st, c: RR.compute_camera_binning(st, c, rcfg))
-    aux0 = prep(state, cam)
-    print(f"bin_aux (project+bin+sort+perm): {timeit(prep, state, cam):7.2f} ms")
+    # ---- frozen single-camera geometry for the isolated stages ----
+    p = state.params
+    proj0 = jax.jit(lambda xyz: PF.project_gaussians(
+        xyz, state.scaling, p.quat, cam.viewmatrix, cam.projmatrix,
+        cam.tanfov[0], cam.tanfov[1], args.w, args.h, 1.0,
+        opacity=state.opacity[:, 0]))(p.xyz)
+    radius0 = jnp.where(state.active, proj0.radius, 0)
+    aux0 = jax.jit(lambda st: RR.compute_camera_binning(st, cam, rcfg)
+                   )(state)
+    ba_xs = jax.tree.map(lambda x: jnp.stack([x] * kk), aux0)
+    nfeat = PF.feature_dim(0)
+    f_pad = K.feat_rows(0)
+    payload0 = jnp.asarray(
+        rng.normal(size=(cap, f_pad)).astype(np.float32))
+    n_tx, n_ty = B.tile_grid(args.w, args.h, K.TILE)
+    cam_vec = jnp.concatenate([cam.intr, bg, jnp.zeros((1,))]
+                              ).astype(jnp.float32)
 
-    # --- stage: full render forward (with precomputed bin aux) ---
-    fwd = jax.jit(lambda st, c, a: render(
-        st, c, rcfg, bg, sh_degree=3, scene_extent=4.0,
-        bin_aux=a)["render"])
-    print(f"render forward:                  {timeit(fwd, state, cam, aux0):7.2f} ms")
+    # 1. projection forward
+    def body_proj(xyz, _):
+        pr = PF.project_gaussians(
+            xyz, state.scaling, p.quat, cam.viewmatrix, cam.projmatrix,
+            cam.tanfov[0], cam.tanfov[1], args.w, args.h, 1.0,
+            opacity=state.opacity[:, 0])
+        return dep(xyz, pr.mean2d, pr.depth_z, pr.ext)
+    scan_time("projection fwd", body_proj, p.xyz)
 
-    # --- stage: render forward+backward ---
-    def loss_fn(params, st, c, a):
-        st = st._replace(params=params)
-        out = render(st, c, rcfg, bg, sh_degree=3, scene_extent=4.0,
-                     bin_aux=a)
-        return jnp.mean(jnp.abs(out["render"] - c.image))
+    # 2. lookahead binning (bin sort + perm sort + fills + histogram)
+    def body_bin(md, _):
+        ba = R.compute_bin_aux(md, radius0, proj0.depth_z, args.w, args.h,
+                               args.budget, extents=proj0.ext)
+        return dep(md, ba.binn.sorted_gid.astype(jnp.float32)[:128],
+                   ba.perm.astype(jnp.float32)[:128])
+    scan_time("lookahead (bin+perm sorts)", body_bin, proj0.mean2d)
 
-    gr = jax.jit(jax.grad(loss_fn))
-    print(f"render fwd+bwd (L1 only):        {timeit(gr, state.params, state, cam, aux0):7.2f} ms")
+    # 3. entry build fwd (payload row gather, xs indices)
+    build_pre = R._make_entry_builder_pre(args.budget)
+    def body_egf(payload, ba):
+        e = build_pre(payload, ba.binn.sorted_gid, ba.perm,
+                      ba.binn.gauss_offsets, ba.binn.gauss_counts,
+                      ba.binn.num_entries)
+        return dep(payload, e)
+    scan_time("entry build fwd (gather)", body_egf, payload0, ba_xs)
 
-    # --- full train step (bench parity) ---
+    # 4. entry build fwd+bwd (adds perm gather + cumsum + boundary diff)
+    g_out0 = jnp.ones((aux0.binn.sorted_gid.shape[0], f_pad), jnp.float32)
+    def body_egb(payload, ba):
+        e, vjp = jax.vjp(lambda q: build_pre(
+            q, ba.binn.sorted_gid, ba.perm, ba.binn.gauss_offsets,
+            ba.binn.gauss_counts, ba.binn.num_entries), payload)
+        (gp,) = vjp(g_out0)
+        return dep(payload, e[:128], gp)
+    scan_time("entry build fwd+bwd (segsum)", body_egb, payload0, ba_xs)
+
+    # 5/6. Pallas core forward / forward+backward
+    entries0 = build_pre(payload0, aux0.binn.sorted_gid, aux0.perm,
+                         aux0.binn.gauss_offsets, aux0.binn.gauss_counts,
+                         aux0.binn.num_entries)
+    feats_t0 = jnp.asarray(entries0.T)
+    core = R._make_core(0, rcfg.depth_mode, n_tx, n_ty)
+    def body_core(ft, _):
+        out = core(ft, aux0.binn.tile_starts, aux0.binn.tile_counts,
+                   cam_vec)
+        return dep(ft, out)
+    scan_time("pallas core fwd", body_core, feats_t0)
+
+    def body_coreb(ft, _):
+        out, vjp = jax.vjp(
+            lambda f: core(f, aux0.binn.tile_starts, aux0.binn.tile_counts,
+                           cam_vec), ft)
+        (gf,) = vjp(jnp.ones_like(out))
+        return dep(ft, out[:1, :1, :1], gf[:1, :128])
+    scan_time("pallas core fwd+bwd", body_coreb, feats_t0)
+
+    # 7. full render forward (xs bin_aux)
+    def body_rf(xyz, ba):
+        st = state._replace(params=p._replace(xyz=xyz))
+        out = render(st, cam, rcfg, bg, 3, scene_extent=4.0, bin_aux=ba)
+        return dep(xyz, out["render"], out["depth"])
+    scan_time("render fwd", body_rf, p.xyz, ba_xs)
+
+    # 8. render fwd+bwd (L1 only)
+    def body_rg(xyz, ba):
+        def loss(v):
+            st = state._replace(params=p._replace(xyz=v))
+            out = render(st, cam, rcfg, bg, 3, scene_extent=4.0, bin_aux=ba)
+            return jnp.mean(jnp.abs(out["render"] - cam.image))
+        g = jax.grad(loss)(xyz)
+        return dep(xyz, g)
+    scan_time("render fwd+bwd (L1)", body_rg, p.xyz, ba_xs)
+
+    # 9/10. full step_impl without / with the next-camera lookahead
     cfg = default_config()
     weights = {"l1": 0.8, "ssim": 0.2, "mono_normal": 0.01,
                "depth_normal": 0.015, "l1_scale": 1.0}
-    step = make_train_step(cfg, rcfg, weights, 4.0, np.zeros(3, np.float32),
+    impl = _make_step_impl(cfg, rcfg, weights, 4.0, np.zeros(3, np.float32),
                            np.full(3, 4.0, np.float32), 0, None, None)
     net = NetState(None, None, None, None, None)
     gates = Gates(True, True, False, False, True)
     lr = jnp.asarray(1.6e-4)
 
-    bin_aux = None
-    st = state
+    def body_step(st, ba):
+        st, _, losses, _ = impl(st, net, cam, bg, lr, sh_degree=3,
+                                gates=gates, bin_aux=ba, next_cam=None)
+        return dep(st, losses["total"])
+    t_nolook = scan_time("train step (no lookahead)", body_step, state,
+                         ba_xs)
 
-    def full(st, ba):
-        st2, _, losses, aux = step(st, net, cam, bg, lr, sh_degree=3,
-                                   gates=gates, bin_aux=ba, next_cam=cam)
-        return st2, aux["next_bin_aux"], losses
-
-    st, bin_aux, losses = full(st, bin_aux)
-    for _ in range(5):
-        st, bin_aux, losses = full(st, bin_aux)
-    _ = float(losses["total"])
-    t0 = time.time()
-    it = 30
-    for _ in range(it):
-        st, bin_aux, losses = full(st, bin_aux)
-    _ = float(losses["total"])
-    dt = (time.time() - t0) / it * 1e3
-    print(f"full train step:                 {dt:7.2f} ms "
-          f"({1e3 / dt:.1f} it/s)")
+    def body_full(carry, _):
+        st, ba = carry
+        st, _, losses, aux = impl(st, net, cam, bg, lr, sh_degree=3,
+                                  gates=gates, bin_aux=ba, next_cam=cam)
+        return dep((st, aux["next_bin_aux"]), losses["total"])
+    t_full = scan_time("train step (full, carry bin_aux)", body_full,
+                       (state, aux0))
+    print(f"{'-> lookahead cost by difference':34s} "
+          f"{t_full - t_nolook:7.2f} ms")
+    print(f"{'-> full-step throughput':34s} {1e3 / t_full:7.1f} it/s")
 
 
 if __name__ == "__main__":

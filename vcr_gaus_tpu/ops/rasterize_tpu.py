@@ -6,8 +6,9 @@ tile, the depth-sorted entry list (from ops/binning.py) is streamed from HBM
 in double-buffered chunks of G=256 Gaussians; compositing is expressed as
 
   * alpha evaluation:              (P, G) VPU elementwise,
-  * in-chunk exclusive cumprod:    log-space cumsum as a (P,G)x(G,G)
-                                   upper-triangular matmul on the MXU,
+  * in-chunk exclusive cumprod:    log-space cumsum as blockwise
+                                   (P,128)x(128,128) triangular matmuls on
+                                   the MXU with a (P,1) carry,
   * feature accumulation:          a (P,G)x(G,C) matmul on the MXU,
 
 with a (P,1) transmittance carry across chunks. The backward kernel walks
@@ -102,19 +103,56 @@ def _pixel_coords(t, n_tx):
     return px, py
 
 
+BLK = 128                # triangular-matmul block (the MXU native width)
+
+
 def _upper_tri_incl():
-    """(G,G) f32 matrix M with M[j,g] = 1 iff j <= g  (inclusive cumsum)."""
-    rows = jax.lax.broadcasted_iota(jnp.int32, (G, G), 0)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (G, G), 1)
+    """(BLK,BLK) f32 matrix M with M[j,g] = 1 iff j <= g (inclusive cumsum).
+    Prefix sums over G lanes run blockwise: one (P,BLK)x(BLK,BLK) matmul per
+    block plus a (P,1) carry, halving the MXU work of a full (G,G)
+    triangular matmul at G=256 (work is P*G*BLK instead of P*G*G)."""
+    rows = jax.lax.broadcasted_iota(jnp.int32, (BLK, BLK), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (BLK, BLK), 1)
     return (rows <= cols).astype(jnp.float32)
 
 
 def _lower_tri_incl():
-    """(G,G) f32 matrix M with M[j,g] = 1 iff j >= g  (inclusive suffix sum
-    along the contracted axis)."""
-    rows = jax.lax.broadcasted_iota(jnp.int32, (G, G), 0)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (G, G), 1)
+    """(BLK,BLK) f32 matrix M with M[j,g] = 1 iff j >= g (inclusive suffix
+    sum along the contracted axis); see _upper_tri_incl for the blocking."""
+    rows = jax.lax.broadcasted_iota(jnp.int32, (BLK, BLK), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (BLK, BLK), 1)
     return (rows >= cols).astype(jnp.float32)
+
+
+def _cumsum_incl_lanes(x, ut):
+    """(P, G) inclusive prefix sum along lanes, blockwise on the MXU."""
+    parts = []
+    carry = None
+    for b in range(G // BLK):
+        xb = x[:, b * BLK:(b + 1) * BLK]
+        cb = jax.lax.dot_general(xb, ut, (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        if carry is not None:
+            cb = cb + carry
+        parts.append(cb)
+        carry = cb[:, BLK - 1:BLK]
+    return jnp.concatenate(parts, axis=1)
+
+
+def _suffix_incl_lanes(x, lt):
+    """(P, G) inclusive suffix sum along lanes, blockwise on the MXU."""
+    nb = G // BLK
+    parts = [None] * nb
+    carry = None
+    for b in reversed(range(nb)):
+        xb = x[:, b * BLK:(b + 1) * BLK]
+        sb = jax.lax.dot_general(xb, lt, (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        if carry is not None:
+            sb = sb + carry
+        parts[b] = sb
+        carry = sb[:, 0:1]
+    return jnp.concatenate(parts, axis=1)
 
 
 def _alpha_chunk(f, px, py, n_rem, pvalid=None):
@@ -171,8 +209,7 @@ def _transmittance(alpha, ut):
     trans_excl[p,g] = prod_{j<g within chunk} (1-alpha), chunk_total = prod
     over the chunk, chunk_log = its log."""
     lg = jnp.log1p(-alpha)
-    csum_incl = jax.lax.dot_general(
-        lg, ut, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    csum_incl = _cumsum_incl_lanes(lg, ut)
     trans_excl = jnp.exp(csum_incl - lg)
     chunk_log = csum_incl[:, G - 1:G]
     return trans_excl, jnp.exp(chunk_log), chunk_log
@@ -442,9 +479,7 @@ def _bwd_kernel(starts_ref, counts_ref, cam_ref, feats_ref, gout_ref,
             suffix_u = carr_ref[:, 1:2]
             alpha, ex = _alpha_chunk(f, px, py, n - k * G)
             lg = jnp.log1p(-alpha)
-            suf_incl = jax.lax.dot_general(            # sum_{j>=g in chunk}
-                lg, lt, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
+            suf_incl = _suffix_incl_lanes(lg, lt)      # sum_{j>=g in chunk}
             v = jnp.exp(logt_final - suf_incl - log_r)  # trans before entry
             w = alpha * v
             d, dex = _depth_chunk(f, px, py, cam, depth_mode)
@@ -454,9 +489,7 @@ def _bwd_kernel(starts_ref, counts_ref, cam_ref, feats_ref, gout_ref,
             s = s + d * (g_d + d * g_d2)
 
             u = w * s
-            u_suf_incl = jax.lax.dot_general(
-                u, lt, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
+            u_suf_incl = _suffix_incl_lanes(u, lt)
             suffix = (u_suf_incl - u) + suffix_u       # sum over later entries
 
             dalpha = v * s - (suffix + tb) / (1.0 - alpha)
