@@ -116,7 +116,7 @@ def main():
     nfeat = PF.feature_dim(0)
     f_pad = K.feat_rows(0)
     payload0 = jnp.asarray(
-        rng.normal(size=(cap, f_pad)).astype(np.float32))
+        rng.normal(size=(f_pad, cap)).astype(np.float32))   # transposed
     n_tx, n_ty = B.tile_grid(args.w, args.h, K.TILE)
     cam_vec = jnp.concatenate([cam.intr, bg, jnp.zeros((1,))]
                               ).astype(jnp.float32)
@@ -148,20 +148,19 @@ def main():
     scan_time("entry build fwd (gather)", body_egf, payload0, ba_xs)
 
     # 4. entry build fwd+bwd (adds perm gather + cumsum + boundary diff)
-    g_out0 = jnp.ones((aux0.binn.sorted_gid.shape[0], f_pad), jnp.float32)
+    g_out0 = jnp.ones((f_pad, aux0.binn.sorted_gid.shape[0]), jnp.float32)
     def body_egb(payload, ba):
         e, vjp = jax.vjp(lambda q: build_pre(
             q, ba.binn.sorted_gid, ba.perm, ba.binn.gauss_offsets,
             ba.binn.gauss_counts, ba.binn.num_entries), payload)
         (gp,) = vjp(g_out0)
-        return dep(payload, e[:128], gp)
+        return dep(payload, e[:, :128], gp)
     scan_time("entry build fwd+bwd (segsum)", body_egb, payload0, ba_xs)
 
     # 5/6. Pallas core forward / forward+backward
-    entries0 = build_pre(payload0, aux0.binn.sorted_gid, aux0.perm,
+    feats_t0 = build_pre(payload0, aux0.binn.sorted_gid, aux0.perm,
                          aux0.binn.gauss_offsets, aux0.binn.gauss_counts,
                          aux0.binn.num_entries)
-    feats_t0 = jnp.asarray(entries0.T)
     core = R._make_core(0, rcfg.depth_mode, n_tx, n_ty)
     def body_core(ft, _):
         out = core(ft, aux0.binn.tile_starts, aux0.binn.tile_counts,

@@ -277,17 +277,17 @@ def test_entry_builder_grad_matches_scatter_even_truncated():
     for budget in (4096, 128):     # 128 forces truncation on this scene
         binn = B.bin_gaussians(mean2d, radius, depth_z, W, H, R.TILE, budget)
         build = R._make_entry_builder(W, H, budget)
-        payload = jnp.asarray(rng.normal(size=(n, 8)).astype(np.float32))
+        payload_t = jnp.asarray(rng.normal(size=(8, n)).astype(np.float32))
         cot = jnp.asarray(
-            rng.normal(size=(binn.sorted_gid.shape[0], 8)).astype(np.float32))
+            rng.normal(size=(8, binn.sorted_gid.shape[0])).astype(np.float32))
 
         def f(p):
-            entries, _ = build(p, mean2d, radius, depth_z, None)
-            return jnp.vdot(entries, cot)
+            entries_t, _ = build(p, mean2d, radius, depth_z, None)
+            return jnp.vdot(entries_t, cot)
 
-        got = np.asarray(jax.grad(f)(payload))
+        got = np.asarray(jax.grad(f)(payload_t))
         want = np.asarray(
-            jnp.zeros((n, 8)).at[binn.sorted_gid].add(cot, mode="drop"))
+            jnp.zeros((8, n)).at[:, binn.sorted_gid].add(cot, mode="drop"))
         if budget == 128:
             assert bool(binn.overflow)
         np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)

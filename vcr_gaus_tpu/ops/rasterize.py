@@ -9,10 +9,12 @@ Gradient routing (the TPU-native re-design of the CUDA fork's custom
 autograd, reference gaussian_renderer/__init__.py:107-120) — two custom_vjp
 boundaries keep every backward op cheap on TPU:
 
-  * entry building (payload -> aligned per-entry rows): forward is one row
-    gather by aligned gid; backward is a scatter-free sorted segment-sum
-    (autodiff of the gather would emit a slow TPU scatter; the explicit
-    boundary also severs the non-differentiable binning plumbing);
+  * entry building (transposed payload -> aligned per-entry columns):
+    forward is one lane gather by aligned gid, directly in the (C, E_al)
+    layout the kernels consume; backward is a scatter-free sorted
+    segment-sum over lane-blocked cumulative sums (autodiff of the gather
+    would emit a slow TPU scatter; the explicit boundary also severs the
+    non-differentiable binning plumbing);
   * the Pallas kernel pair: forward compositing / analytic backward
     emitting per-entry gradients, including two extra rows of |d mean2d|
     densification statistics that flow back as the gradient of the
@@ -68,32 +70,34 @@ def compute_bin_aux(mean2d, radius, depth_z, width, height,
 
 @functools.lru_cache(maxsize=None)
 def _make_entry_builder_pre(entry_budget: int):
-    """Entry builder over a precomputed BinAux: forward is one row gather by
-    the (input) sorted gid; backward is the same segment-sum as
-    _make_entry_builder but with the grouping permutation taken as an input
-    instead of sorted in-program."""
+    """Entry builder over a precomputed BinAux: forward is one lane gather
+    by the (input) sorted gid, producing the (C, E_al) layout the kernels
+    consume; backward is the same segment-sum as _make_entry_builder but
+    with the grouping permutation taken as an input instead of sorted
+    in-program."""
 
     @jax.custom_vjp
-    def build(payload, sorted_gid, perm, offs, cnts, total):
+    def build(payload_t, sorted_gid, perm, offs, cnts, total):
         payload_z = jnp.concatenate(
-            [payload, jnp.zeros((1, payload.shape[1]), payload.dtype)], 0)
-        return payload_z[sorted_gid]
+            [payload_t, jnp.zeros((payload_t.shape[0], 1),
+                                  payload_t.dtype)], 1)
+        return payload_z[:, sorted_gid]
 
-    def build_fwd(payload, sorted_gid, perm, offs, cnts, total):
-        return (build(payload, sorted_gid, perm, offs, cnts, total),
+    def build_fwd(payload_t, sorted_gid, perm, offs, cnts, total):
+        return (build(payload_t, sorted_gid, perm, offs, cnts, total),
                 (perm, offs, cnts, total))
 
-    def build_bwd(res, g_entries):
-        # perm is (entry_budget,): rows beyond the real entries are pad-slot
-        # gradients that no segment [lo, hi) can reach (hi <= kept)
+    def build_bwd(res, g_entries_t):
+        # perm is (entry_budget,): columns beyond the real entries are
+        # pad-slot gradients that no segment [lo, hi) can reach (hi <= kept)
         perm, offs, cnts, total = res
-        c = g_entries.shape[1]
-        csum = jnp.cumsum(g_entries[perm], axis=0)
-        csum = jnp.concatenate([jnp.zeros((1, c), csum.dtype), csum], 0)
+        c = g_entries_t.shape[0]
+        csum = B.cumsum_lanes(g_entries_t[:, perm])
+        csum = jnp.concatenate([jnp.zeros((c, 1), csum.dtype), csum], 1)
         kept = jnp.minimum(total, entry_budget)
         lo = jnp.minimum(offs, kept)
         hi = jnp.minimum(offs + cnts, kept)
-        return (csum[hi] - csum[lo], None, None, None, None, None)
+        return (csum[:, hi] - csum[:, lo], None, None, None, None, None)
 
     build.defvjp(build_fwd, build_bwd)
     return build
@@ -101,45 +105,46 @@ def _make_entry_builder_pre(entry_budget: int):
 
 @functools.lru_cache(maxsize=None)
 def _make_entry_builder(width: int, height: int, entry_budget: int):
-    """custom_vjp: (payload (N,C), geometry) -> (entries_al (E_al,C), Binning).
+    """custom_vjp: (payload_t (C,N), geometry) -> (entries_t (C,E_al),
+    Binning).
 
     Backward reduces per-entry gradients to per-Gaussian gradients WITHOUT a
-    scatter (measured ~13ms @ 770k x 16 rows): one gid sort groups the
-    gradient rows so each gaussian's entries are contiguous (= the expansion
-    order the binning itself used), then a cumsum + boundary-difference
-    yields all segment sums with two small row gathers. Segment boundaries
-    are the binning's per-gaussian offsets, clamped to the kept-entry count,
-    which stays exact even when the entry budget truncated the expansion."""
+    scatter: one gid sort groups the gradient columns so each gaussian's
+    entries are contiguous (= the expansion order the binning itself used),
+    then a lane-blocked cumsum + boundary-difference yields all segment sums
+    with two small lane gathers. Segment boundaries are the binning's
+    per-gaussian offsets, clamped to the kept-entry count, which stays exact
+    even when the entry budget truncated the expansion."""
 
-    def _run(payload, mean2d, radius, depth_z, extents):
-        return B.bin_and_gather(mean2d, radius, depth_z, payload,
+    def _run(payload_t, mean2d, radius, depth_z, extents):
+        return B.bin_and_gather(mean2d, radius, depth_z, payload_t,
                                 width, height, TILE, entry_budget,
                                 align=K.ALIGN, extents=extents)
 
     @jax.custom_vjp
-    def build(payload, mean2d, radius, depth_z, extents):
-        binn, entries = _run(payload, mean2d, radius, depth_z, extents)
+    def build(payload_t, mean2d, radius, depth_z, extents):
+        binn, entries = _run(payload_t, mean2d, radius, depth_z, extents)
         return entries, binn
 
-    def build_fwd(payload, mean2d, radius, depth_z, extents):
-        binn, entries = _run(payload, mean2d, radius, depth_z, extents)
+    def build_fwd(payload_t, mean2d, radius, depth_z, extents):
+        binn, entries = _run(payload_t, mean2d, radius, depth_z, extents)
         return (entries, binn), (binn.sorted_gid, binn.gauss_offsets,
                                  binn.gauss_counts, binn.num_entries)
 
     def build_bwd(res, cot):
-        g_entries, _ = cot                            # (E_al, C)
+        g_entries_t, _ = cot                          # (C, E_al)
         gid_al, offs, cnts, total = res
-        e_al, c = g_entries.shape
+        c, e_al = g_entries_t.shape
         iota = jnp.arange(e_al, dtype=jnp.int32)
         _, perm = jax.lax.sort((gid_al, iota), num_keys=1)
         perm = perm[:entry_budget]    # pads (gid == N) sort after all real
-        csum = jnp.cumsum(g_entries[perm], axis=0)
-        csum = jnp.concatenate([jnp.zeros((1, c), csum.dtype), csum], 0)
+        csum = B.cumsum_lanes(g_entries_t[:, perm])
+        csum = jnp.concatenate([jnp.zeros((c, 1), csum.dtype), csum], 1)
         kept = jnp.minimum(total, entry_budget)
         lo = jnp.minimum(offs, kept)
         hi = jnp.minimum(offs + cnts, kept)
-        g_payload = csum[hi] - csum[lo]
-        return (g_payload, None, None, None, None)
+        g_payload_t = csum[:, hi] - csum[:, lo]
+        return (g_payload_t, None, None, None, None)
 
     build.defvjp(build_fwd, build_bwd)
     return build
@@ -202,24 +207,25 @@ def rasterize_image(
     n_tx, n_ty = B.tile_grid(width, height, TILE)
     f_pad = K.feat_rows(ch_sem)
 
-    # payload carries the feature cols, the dummy densify-stats cols and the
-    # kernel's row padding, so feats_t is ONE fused transpose of the gather
-    # output (no extra zero-fill + set copy)
+    # the payload is built TRANSPOSED — (F_PAD, N), gaussians along lanes —
+    # so the entry gather directly produces the (F_PAD, E_al) layout the
+    # kernel consumes: the relayout happens once at N columns (cheap)
+    # instead of transposing the E_al-wide gather output (~0.8 ms/direction
+    # at bench shapes)
     pad_c = f_pad - (F + 2)
-    cols = [feats, dummy2d]
+    rows = [feats.T, dummy2d.T]
     if pad_c:
-        cols.append(jnp.zeros((n, pad_c), feats.dtype))
-    payload = jnp.concatenate(cols, axis=1)                # (N, F_PAD)
+        rows.append(jnp.zeros((pad_c, n), feats.dtype))
+    payload_t = jnp.concatenate(rows, axis=0)              # (F_PAD, N)
     if bin_aux is not None:
         binn = bin_aux.binn
         build_pre = _make_entry_builder_pre(entry_budget)
-        entries_al = build_pre(payload, binn.sorted_gid, bin_aux.perm,
-                               binn.gauss_offsets, binn.gauss_counts,
-                               binn.num_entries)
+        feats_t = build_pre(payload_t, binn.sorted_gid, bin_aux.perm,
+                            binn.gauss_offsets, binn.gauss_counts,
+                            binn.num_entries)
     else:
         build = _make_entry_builder(width, height, entry_budget)
-        entries_al, binn = build(payload, mean2d, radius, depth_z, extents)
-    feats_t = entries_al.T                                 # (F_PAD, E_al)
+        feats_t, binn = build(payload_t, mean2d, radius, depth_z, extents)
 
     core = _make_core(ch_sem, depth_mode, n_tx, n_ty)
     out_tiles = core(feats_t, binn.tile_starts, binn.tile_counts, cam)
@@ -240,13 +246,14 @@ def rasterize_entry_stats(feats, mean2d, radius, depth_z, cam, width, height,
     n_tx, n_ty = B.tile_grid(width, height, TILE)
     f_pad = K.feat_rows(ch_sem)
     pad_c = f_pad - F
-    payload = (jnp.concatenate([feats, jnp.zeros((n, pad_c), feats.dtype)], 1)
-               if pad_c else feats)
-    binn, entries_al = B.bin_and_gather(
-        mean2d, radius, depth_z, payload, width, height, TILE, entry_budget,
-        align=K.ALIGN, extents=extents)
+    ft = feats.T
+    payload_t = (jnp.concatenate([ft, jnp.zeros((pad_c, n), feats.dtype)], 0)
+                 if pad_c else ft)
+    binn, entries_t = B.bin_and_gather(
+        mean2d, radius, depth_z, payload_t, width, height, TILE,
+        entry_budget, align=K.ALIGN, extents=extents)
 
-    stats = K.rasterize_stats(entries_al.T, binn.tile_starts,
+    stats = K.rasterize_stats(entries_t, binn.tile_starts,
                               binn.tile_counts, cam, n_tx, n_ty, width,
                               height)
     gid = binn.sorted_gid                                # (E_al,), n = invalid
