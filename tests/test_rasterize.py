@@ -224,6 +224,27 @@ def test_entry_stats_match_oracle_weights():
     assert np.all(np.asarray(count) >= 0)
 
 
+def test_cumsum_lanes_exact_and_matches_native():
+    """Blockwise MXU cumsum must be EXACT for integer inputs (regression:
+    the default matmul precision truncates inputs to bf16 — 393 -> 392 —
+    which silently corrupted the binning offsets) and f32-accurate for
+    float gradients."""
+    rng = np.random.default_rng(0)
+    for shape, dtype in [((458752,), np.int32), ((131070,), np.int32),
+                         ((16, 458752), np.float32), ((5, 130), np.float32)]:
+        if dtype == np.int32:
+            x = rng.integers(0, 7, size=shape).astype(dtype)
+            got = np.asarray(B.cumsum_lanes(jnp.asarray(x)))
+            assert (np.cumsum(x, -1).astype(np.int64)
+                    == got.astype(np.int64)).all()
+        else:
+            x = rng.normal(size=shape).astype(dtype)
+            got = np.asarray(B.cumsum_lanes(jnp.asarray(x)))
+            np.testing.assert_allclose(
+                got, np.cumsum(x, -1, dtype=np.float64), rtol=1e-4,
+                atol=5e-3)
+
+
 def test_binning_exact_coverage():
     feats, radius, cam = make_scene(n=50, seed=6)
     mean2d = feats[:, [PF.F_MEAN_X, PF.F_MEAN_Y]]

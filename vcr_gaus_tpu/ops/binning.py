@@ -87,28 +87,47 @@ def cdiv_arr(x: jnp.ndarray, m: int) -> jnp.ndarray:
 
 
 def cumsum_lanes(x):
-    """Inclusive cumulative sum along the LAST axis, two-level lane-blocked:
-    reshape to (..., rows, 128), 7 shifted adds within the lane dim, then a
-    recursive cross-row carry. XLA's native cumulative ops lower to a slow
-    pass chain on TPU (measured ~1.8 ms for a (16, 458k) f32 cumsum); this
-    runs at memory speed."""
+    """Inclusive cumulative sum along the LAST axis as blockwise
+    (..., rows, 128) x (128, 128) upper-triangular MXU matmuls plus a
+    recursive cross-row carry. XLA's native cumulative ops lower to slow
+    pass chains on TPU (measured ~1.8 ms for a (16, 458k) f32 cumsum and
+    ~1.0 ms for a 131k int cumsum; this runs both in ~0.1-0.2 ms).
+
+    Integer inputs are summed in f32 on the MXU: exact while every prefix
+    stays below 2^24. The binning prefixes are bounded by the total entry
+    count, which only exceeds 2^24 in overflow regimes where the step is
+    discarded and the budget regrown anyway (see bin_and_gather's overflow
+    contract)."""
     orig_l = x.shape[-1]
     if orig_l <= 1024:
         return jnp.cumsum(x, axis=-1)
+    orig_dtype = x.dtype
+    xf = x if jnp.issubdtype(orig_dtype, jnp.floating) else x.astype(
+        jnp.float32)
     lanes = 128
     rows = cdiv(orig_l, lanes)
     pad = rows * lanes - orig_l
     if pad:
-        x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, pad)])
-    a = x.reshape(*x.shape[:-1], rows, lanes)
-    s = 1
-    while s < lanes:
-        a = a + jnp.pad(a[..., :-s], [(0, 0)] * (a.ndim - 1) + [(s, 0)])
-        s *= 2
-    tot = a[..., -1]                                   # (..., rows)
-    a = a + (cumsum_lanes(tot) - tot)[..., None]       # exclusive row carry
-    out = a.reshape(*a.shape[:-2], rows * lanes)
-    return out[..., :orig_l] if pad else out
+        xf = jnp.pad(xf, [(0, 0)] * (xf.ndim - 1) + [(0, pad)])
+    a = xf.reshape(*xf.shape[:-1], rows, lanes)
+    ri = jnp.arange(lanes, dtype=jnp.int32)
+    ut = (ri[:, None] <= ri[None, :]).astype(jnp.float32)   # (128,128)
+    nd = a.ndim
+    # HIGHEST precision: the default TPU matmul truncates INPUTS to bf16
+    # (393 -> 392), which corrupts exact integer prefixes; the 0/1
+    # triangular operand is bf16-exact either way
+    c = jax.lax.dot_general(
+        a, ut, (((nd - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)                # in-row prefix
+    tot = c[..., -1]                                        # (..., rows)
+    c = c + (cumsum_lanes(tot) - tot)[..., None]            # row carry
+    out = c.reshape(*c.shape[:-2], rows * lanes)
+    if pad:
+        out = out[..., :orig_l]
+    if out.dtype != orig_dtype:
+        out = jnp.round(out).astype(orig_dtype)
+    return out
 
 
 def _cummax_blocked(x):
