@@ -135,6 +135,82 @@ def run_case(width, height, n, ch_sem, depth_mode, seed,
         assert nz > 0, f"grad {name} identically zero"
 
 
+def run_stats_case(width=64, height=48, n=150, seed=5):
+    """On-chip check of the stats kernel (count/importance — the f_count
+    render modes feeding LightGaussian pruning): compare the summed
+    blending weights against the brute-force oracle's weights."""
+    import jax
+    import jax.numpy as jnp
+
+    from vcr_gaus_tpu.data.cameras import Camera
+    from vcr_gaus_tpu.models import gaussians as GM
+    from vcr_gaus_tpu.ops import projection as PF
+    from vcr_gaus_tpu.ops import rasterize as R
+    from vcr_gaus_tpu.ops import rasterize_ref as RREF
+
+    rng = np.random.default_rng(seed)
+    pts = np.stack([rng.uniform(-1, 1, n), rng.uniform(-1, 1, n),
+                    rng.uniform(3, 6, n)], 1).astype(np.float32)
+    cols = rng.uniform(0, 1, (n, 3)).astype(np.float32)
+    state = GM.create_from_pcd(pts, cols, 256, sh_degree=2)
+    cam = Camera(colmap_id=0, idx=0, image_name="s", R=np.eye(3),
+                 T=np.zeros(3), fovx=0.9, fovy=0.7, width=width,
+                 height=height,
+                 image=rng.uniform(0, 1, (3, height, width)
+                                   ).astype(np.float32)).arrays()
+    cam = jax.tree.map(jnp.asarray, cam)
+
+    def stats(params):
+        st = state._replace(params=params)
+        p = st.params
+        proj = PF.project_gaussians(
+            p.xyz, st.scaling, p.quat, cam.viewmatrix, cam.projmatrix,
+            cam.tanfov[0], cam.tanfov[1], width, height, 1.0,
+            opacity=st.opacity[:, 0])
+        radius = jnp.where(st.active, proj.radius, 0)
+        rgb = jnp.abs(jnp.sin(p.f_dc[:, 0, :] * 3.0))
+        feats = PF.pack_features(proj, st.opacity[:, 0], rgb, None, None, 0)
+        cam_vec = jnp.concatenate([cam.intr, jnp.zeros(3), jnp.zeros((1,))]
+                                  ).astype(jnp.float32)
+        count, imp = R.rasterize_entry_stats(
+            feats, proj.mean2d, radius, proj.depth_z, cam_vec, width,
+            height, 0, 1 << 13, extents=proj.ext)
+        # oracle weights: alpha * exclusive transmittance, summed per
+        # gaussian over all pixels (tools/prune.py importance semantics)
+        order = RREF.depth_order(proj.depth_z, radius)
+        f = jnp.concatenate([feats, jnp.zeros((1, feats.shape[1]))],
+                            0)[order]
+        ys, xs = jnp.meshgrid(jnp.arange(height, dtype=jnp.float32),
+                              jnp.arange(width, dtype=jnp.float32),
+                              indexing="ij")
+        dx = xs.reshape(-1, 1) - f[None, :, PF.F_MEAN_X]
+        dy = ys.reshape(-1, 1) - f[None, :, PF.F_MEAN_Y]
+        A, Bc, C = (f[:, PF.F_CONIC_A], f[:, PF.F_CONIC_B],
+                    f[:, PF.F_CONIC_C])
+        power = (-0.5 * (A[None] * dx * dx + C[None] * dy * dy)
+                 - Bc[None] * dx * dy)
+        alpha = f[None, :, PF.F_OPACITY] * jnp.exp(power)
+        alpha = jnp.where(power > 0, 0.0, alpha)
+        alpha = jnp.where(alpha < RREF.ALPHA_EPS, 0.0,
+                          jnp.minimum(alpha, RREF.ALPHA_CAP))
+        cum = jnp.cumprod(1.0 - alpha, axis=1)
+        trans_excl = jnp.concatenate(
+            [jnp.ones_like(cum[:, :1]), cum[:, :-1]], 1)
+        w = (alpha * trans_excl).sum(0)
+        imp_ref = jnp.zeros((state.capacity + 1,)).at[order].add(w)
+        return count, imp, imp_ref[:state.capacity]
+
+    count, imp, imp_ref = jax.jit(stats)(state.params)
+    count, imp, imp_ref = map(np.asarray, (count, imp, imp_ref))
+    assert np.isfinite(count).all() and np.isfinite(imp).all()
+    scale = max(imp_ref.max(), 1e-3)
+    rel = np.abs(imp - imp_ref).max() / scale
+    print(f"  stats importance rel_err={rel:.3e} "
+          f"max count={count.max():.0f} total imp={imp.sum():.1f}")
+    assert rel < 2e-2, f"stats importance mismatch {rel}"
+    assert count.max() > 0 and imp.sum() > 0
+
+
 def main():
     import jax
     print(f"backend: {jax.default_backend()}  devices: {jax.devices()}")
@@ -147,6 +223,8 @@ def main():
     for name, w, h, n, s, dm, seed, cg in cases:
         print(f"[{name}]")
         run_case(w, h, n, s, dm, seed, check_grads=cg)
+    print("[stats kernel]")
+    run_stats_case()
     print("TPU smoke: ALL OK")
 
 
