@@ -31,6 +31,8 @@ def main():
     ap.add_argument("--budget", type=int, default=7 << 16)
     ap.add_argument("--k", type=int, default=8, help="scan length")
     ap.add_argument("--iters", type=int, default=4)
+    ap.add_argument("--only", type=str, default=None,
+                    help="substring filter: run only matching stages")
     args = ap.parse_args()
 
     import jax
@@ -60,6 +62,9 @@ def main():
 
     def scan_time(label, body, carry0, xs=None):
         """body: (carry, x) -> carry. Prints ms/iter of pure device time."""
+        if args.only and not any(s in label
+                                 for s in args.only.split(",")):
+            return 0.0
         @jax.jit
         def run(c, xs):
             def f(c, x):
@@ -203,6 +208,75 @@ def main():
     gates = Gates(True, True, False, False, True)
     lr = jnp.asarray(1.6e-4)
 
+    # 8b. render fwd+bwd, L1 only, grads wrt ALL gaussian params + dummy
+    from vcr_gaus_tpu.train.trainer import compute_losses
+    import vcr_gaus_tpu.utils.math as M
+
+    inside_mask, _ = M.get_inside_normalized(
+        p.xyz, jnp.zeros(3), jnp.full((3,), 4.0))
+
+    def body_rg_all(params, ba):
+        def loss(v, dummy):
+            st = state._replace(params=v)
+            out = render(st, cam, rcfg, bg, 3, scene_extent=4.0,
+                         densify_dummy=dummy, bin_aux=ba)
+            return jnp.mean(jnp.abs(out["render"] - cam.image))
+        dummy = jnp.zeros((state.capacity, 2), jnp.float32)
+        g, gd = jax.grad(loss, argnums=(0, 1))(params, dummy)
+        return dep(params, gd, *jax.tree.leaves(g))
+    scan_time("render fwd+bwd (L1, all params)", body_rg_all, p, ba_xs)
+
+    # 8b2. grads wrt a chosen subset of params (isolate per-param backward)
+    def make_body_subset(names):
+        def body(params, ba):
+            def loss(sub):
+                v = params._replace(**sub)
+                st = state._replace(params=v)
+                out = render(st, cam, rcfg, bg, 3, scene_extent=4.0,
+                             bin_aux=ba)
+                return jnp.mean(jnp.abs(out["render"] - cam.image))
+            g = jax.grad(loss)({k_: getattr(params, k_) for k_ in names})
+            return dep(params, *jax.tree.leaves(g))
+        return body
+    for names in (("xyz",), ("logit_opacity",), ("f_dc",),
+                  ("quat", "log_scale"),
+                  ("xyz", "logit_opacity")):
+        scan_time(f"render fwd+bwd grads={','.join(names)}",
+                  make_body_subset(names), p, ba_xs)
+
+    # 8c. render fwd+bwd, FULL loss stack, grads wrt all params + dummy
+    def body_rg_full(params, ba):
+        def loss(v, dummy):
+            st = state._replace(params=v)
+            out = render(st, cam, rcfg, bg, 3, scene_extent=4.0,
+                         densify_dummy=dummy, bin_aux=ba)
+            total, _ = compute_losses(out, cam, st, weights, gates, cfg,
+                                      net, inside_mask, 0)
+            return total
+        dummy = jnp.zeros((state.capacity, 2), jnp.float32)
+        g, gd = jax.grad(loss, argnums=(0, 1))(params, dummy)
+        return dep(params, gd, *jax.tree.leaves(g))
+    scan_time("render fwd+bwd (full loss)", body_rg_full, p, ba_xs)
+
+    # 8d. Adam + densification stats from frozen grads
+    g_fixed = jax.tree.map(lambda x: jnp.full_like(x, 1e-8), p)
+    gd_fixed = jnp.zeros((state.capacity, 2), jnp.float32)
+    radii_fixed = jnp.where(state.active, proj0.radius, 0)
+    vis_fixed = state.active
+    lrs_fixed = GM.LearningRates(
+        xyz=lr, f_dc=cfg.optim.feature_lr,
+        f_rest=cfg.optim.feature_lr / 20.0, opacity=cfg.optim.opacity_lr,
+        scaling=cfg.optim.scaling_lr, rotation=cfg.optim.rotation_lr,
+        obj_dc=cfg.optim.feature_lr)
+
+    def body_adam(st, _):
+        g_m = GM.mask_grads(g_fixed, st.active)
+        st2 = GM.adam_step(st, g_m, lrs_fixed)
+        st2 = GM.add_densification_stats(st2, gd_fixed, radii_fixed,
+                                         vis_fixed)
+        return st2
+    scan_time("adam + densify stats", body_adam, state)
+
     def body_step(st, ba):
         st, _, losses, _ = impl(st, net, cam, bg, lr, sh_degree=3,
                                 gates=gates, bin_aux=ba, next_cam=None)
@@ -217,9 +291,10 @@ def main():
         return dep((st, aux["next_bin_aux"]), losses["total"])
     t_full = scan_time("train step (full, carry bin_aux)", body_full,
                        (state, aux0))
-    print(f"{'-> lookahead cost by difference':34s} "
-          f"{t_full - t_nolook:7.2f} ms")
-    print(f"{'-> full-step throughput':34s} {1e3 / t_full:7.1f} it/s")
+    if t_full > 0:
+        print(f"{'-> lookahead cost by difference':34s} "
+              f"{t_full - t_nolook:7.2f} ms")
+        print(f"{'-> full-step throughput':34s} {1e3 / t_full:7.1f} it/s")
 
 
 if __name__ == "__main__":

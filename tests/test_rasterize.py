@@ -125,6 +125,61 @@ def test_backward_matches_oracle_autodiff(depth_mode):
     np.testing.assert_allclose(g_pallas, g_ref, atol=2e-3 * scale, rtol=2e-3)
 
 
+def test_flattened_anisotropic_gaussians_fwd_bwd():
+    """Sliver gaussians (2D conic condition number ~1e4) — the steady state
+    of this model, whose flattening loss drives the smallest axis toward
+    zero. Guards the kernel's alpha/gradient numerics in exactly the regime
+    where a polynomial-expansion power evaluation loses ~kappa*eps digits
+    (measured 8.5e-2 on-chip error before it was reverted) and where the
+    backward's moment-matmul reconstruction sees its largest |mean - tile|
+    amplification."""
+    rng = np.random.default_rng(11)
+    n = 40
+    feats0, radius0, cam = make_scene(n=n, seed=11)
+    f = np.asarray(feats0).copy()
+    theta = rng.uniform(0, np.pi, n)
+    s1 = rng.uniform(10.0, 30.0, n)          # long axis: spans many tiles
+    s2 = rng.uniform(0.3, 0.6, n)            # short axis: subpixel-ish
+    c, s = np.cos(theta), np.sin(theta)
+    xx = c * c * s1**2 + s * s * s2**2
+    xy = c * s * (s1**2 - s2**2)
+    yy = s * s * s1**2 + c * c * s2**2
+    det = xx * yy - xy * xy
+    f[:, PF.F_CONIC_A] = yy / det
+    f[:, PF.F_CONIC_B] = -xy / det
+    f[:, PF.F_CONIC_C] = xx / det
+    feats = jnp.asarray(f)
+    radius = jnp.asarray(np.ceil(3.5 * s1).astype(np.int32))
+
+    out, ref, _ = run_both(feats, radius, cam, "intersection")
+    np.testing.assert_allclose(out, ref, atol=3e-4, rtol=2e-3)
+
+    depth_z = feats[:, PF.F_DEPTH_Z]
+    mean2d = feats[:, [PF.F_MEAN_X, PF.F_MEAN_Y]]
+    order = REF.depth_order(depth_z, radius)
+    g_img = jnp.asarray(rng.normal(size=(9 + CH_SEM, H, W)).astype(np.float32))
+
+    def loss_pallas(f):
+        out, _ = R.rasterize_image(f, jnp.zeros((f.shape[0], 2)), mean2d,
+                                   radius, depth_z, jnp.asarray(cam), W, H,
+                                   CH_SEM, "intersection", entry_budget=8192)
+        return jnp.sum(out * g_img)
+
+    def loss_ref(f):
+        out = REF.composite_reference(
+            f, order, H, W, jnp.asarray(cam[4:7]), CH_SEM,
+            depth_mode="intersection", cam_k=jnp.asarray(cam[:4]))
+        return jnp.sum(out * g_img)
+
+    g_pallas = np.asarray(jax.grad(loss_pallas)(feats))
+    g_ref = np.asarray(jax.grad(loss_ref)(feats))
+    # per-column scale: conic grads live on a vastly different scale than
+    # rgb/opacity grads in this regime; a global max would hide errors
+    scale = np.maximum(np.abs(g_ref).max(axis=0, keepdims=True), 1e-8)
+    np.testing.assert_allclose(g_pallas / scale, g_ref / scale,
+                               atol=5e-3, rtol=0)
+
+
 def test_backward_clamped_denominator_no_grad_leak():
     """Near-tangent splat planes hit the |ray.normal| >= 1e-2 clamp; the
     backward must treat the clamped denominator as a constant (autodiff
