@@ -135,6 +135,37 @@ def main():
         return dep(xyz, pr.mean2d, pr.depth_z, pr.ext)
     scan_time("projection fwd", body_proj, p.xyz)
 
+    # 1b. projection fwd+bwd (grads wrt means/scales/quats, all outputs)
+    def body_projb(carry, _):
+        xyz, sc, qu = carry
+        def f(x3, s3, q4):
+            pr = PF.project_gaussians(
+                x3, s3, q4, cam.viewmatrix, cam.projmatrix, cam.tanfov[0],
+                cam.tanfov[1], args.w, args.h, 1.0,
+                opacity=state.opacity[:, 0])
+            return (jnp.sum(pr.mean2d) + jnp.sum(pr.conic)
+                    + jnp.sum(pr.depth_z) + jnp.sum(pr.mean_cam)
+                    + jnp.sum(pr.ext))
+        g = jax.grad(f, argnums=(0, 1, 2))(xyz, sc, qu)
+        return dep(carry, *g)
+    scan_time("projection fwd+bwd", body_projb,
+              (p.xyz, state.scaling, p.quat))
+
+    # 1c. SH eval fwd+bwd (deg 3, grads wrt coeffs and dirs)
+    from vcr_gaus_tpu.utils import sh as SH
+    shs0 = jnp.swapaxes(jnp.concatenate(
+        [p.f_dc, p.f_rest], axis=1), 1, 2)               # (C,3,K+1)
+    dirs0 = p.xyz / jnp.maximum(
+        jnp.linalg.norm(p.xyz, axis=1, keepdims=True), 1e-8)
+
+    def body_sh(carry, _):
+        shs, dirs = carry
+        def f(s, d):
+            return jnp.sum(jnp.maximum(SH.eval_sh(3, s, d) + 0.5, 0.0))
+        g = jax.grad(f, argnums=(0, 1))(shs, dirs)
+        return dep(carry, *g)
+    scan_time("sh eval fwd+bwd (deg3)", body_sh, (shs0, dirs0))
+
     # 2. lookahead binning (bin sort + perm sort + fills + histogram)
     def body_bin(md, _):
         ba = R.compute_bin_aux(md, radius0, proj0.depth_z, args.w, args.h,
