@@ -48,6 +48,9 @@ def main():
                          "run_tnt voxel ladder retries over")
     args, overrides = ap.parse_known_args()
 
+    from vcr_gaus_tpu.utils.compile_cache import enable_compilation_cache
+    enable_compilation_cache()
+
     from vcr_gaus_tpu.config import Config
     from vcr_gaus_tpu.data.scene import load_scene_info
     from vcr_gaus_tpu.meshing.extract import (

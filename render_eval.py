@@ -27,6 +27,9 @@ def main():
 
     import numpy as np
 
+    from vcr_gaus_tpu.utils.compile_cache import enable_compilation_cache
+    enable_compilation_cache()
+
     from vcr_gaus_tpu.config import Config
     from vcr_gaus_tpu.data.scene import load_scene_info
     from vcr_gaus_tpu.evaluation import nvs

@@ -38,6 +38,9 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from vcr_gaus_tpu.utils.compile_cache import enable_compilation_cache
+    enable_compilation_cache()
+
     from vcr_gaus_tpu.config import default_config
     from vcr_gaus_tpu.data.cameras import Camera
     from vcr_gaus_tpu.models import gaussians as GM

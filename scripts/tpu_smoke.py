@@ -213,7 +213,11 @@ def run_stats_case(width=64, height=48, n=150, seed=5):
 
 def main():
     import jax
-    print(f"backend: {jax.default_backend()}  devices: {jax.devices()}")
+
+    from vcr_gaus_tpu.utils.compile_cache import enable_compilation_cache
+    cache = enable_compilation_cache()
+    print(f"backend: {jax.default_backend()}  devices: {jax.devices()}  "
+          f"compile cache: {cache}")
     cases = [
         ("64x48 traditional", 64, 48, 200, 0, "traditional", 0, True),
         ("64x48 intersection", 64, 48, 200, 0, "intersection", 1, True),

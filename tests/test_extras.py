@@ -146,3 +146,34 @@ def test_orbit_camera():
     assert cam.fovx > cam.fovy                                   # 4:3 aspect
     assert cam.intrinsics[0] == cam.intrinsics[1] > 0
     assert cam.mvp.shape == (4, 4)
+
+
+def test_compile_cache_writes_entries(tmp_path):
+    """enable_compilation_cache points jax at a persistent dir and compiled
+    executables land there (so re-runs of the on-chip scripts skip the
+    multi-minute remote compile)."""
+    import jax
+    import jax.numpy as jnp
+
+    from vcr_gaus_tpu.utils.compile_cache import enable_compilation_cache
+
+    cache_dir = str(tmp_path / "xla")
+    assert enable_compilation_cache(cache_dir) == cache_dir
+    try:
+        # the helper's 1 s threshold skips trivial compiles; drop it so this
+        # tiny program is cached
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+        f = jax.jit(lambda x: (jnp.sin(x) @ jnp.cos(x).T).sum())
+        _ = float(f(jnp.ones((64, 64))))
+        entries = [p for p in (tmp_path / "xla").rglob("*") if p.is_file()]
+        assert entries, "no compilation-cache entries were written"
+    finally:
+        jax.config.update("jax_compilation_cache_dir", None)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+def test_compile_cache_opt_out(tmp_path, monkeypatch):
+    from vcr_gaus_tpu.utils.compile_cache import enable_compilation_cache
+    monkeypatch.setenv("VCR_NO_COMPILE_CACHE", "1")
+    assert enable_compilation_cache(str(tmp_path / "xla")) is None
+    assert not (tmp_path / "xla").exists()

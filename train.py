@@ -26,6 +26,9 @@ def main():
     if args.wandb:
         os.environ["VCR_WANDB"] = "1"
 
+    from vcr_gaus_tpu.utils.compile_cache import enable_compilation_cache
+    enable_compilation_cache()
+
     cfg = Config(args.config, overrides=overrides)
     if not cfg.logdir:
         raise SystemExit("set --logdir")
