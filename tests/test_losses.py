@@ -119,11 +119,44 @@ def test_semantic_ce_bounds():
 
 
 def test_distortion_moments_two_gaussians():
-    # w = [.5, .25], d = [1, 3]: sum_ij wi wj (di-dj)^2 = 2*.5*.25*4 = 1
+    # w = [.5, .25], d = [1, 3]: sum_{i<j} wi wj (di-dj)^2 = .5*.25*4 = 0.5
     w_sum = jnp.asarray(0.75)
     wd = jnp.asarray(0.5 * 1 + 0.25 * 3)
     wd2 = jnp.asarray(0.5 * 1 + 0.25 * 9)
-    assert float(L.distortion_from_moments(w_sum, wd, wd2)) == pytest.approx(1.0)
+    assert float(L.distortion_from_moments(w_sum, wd, wd2)) == pytest.approx(0.5)
     dv = float(L.depth_var_from_moments(w_sum, wd, wd2))
     mean = (0.5 + 0.75) / 0.75
     assert dv == pytest.approx((0.5 * 1 + 0.25 * 9) / 0.75 - mean ** 2, rel=1e-4)
+
+
+def test_distortion_matches_ordered_accumulation():
+    """Pin the distortion constant (VERDICT r2 weak #4): the moments-derived
+    distortion must equal the fork's IN-KERNEL per-entry front-to-back
+    accumulation — entry i contributes w_i * (d_i^2*S0 + S2 - 2*d_i*S1)
+    against the prefix moments S of the entries composited before it
+    (each unordered pair once), NOT the 2x full symmetric i!=j sum."""
+    rng = np.random.default_rng(11)
+    n = 64
+    alpha = rng.uniform(0.01, 0.6, n).astype(np.float64)
+    d = rng.uniform(0.5, 8.0, n)
+    d.sort()                      # front-to-back
+    trans = np.concatenate([[1.0], np.cumprod(1.0 - alpha)[:-1]])
+    w = alpha * trans             # compositing weights
+
+    # explicit ordered accumulation (the CUDA kernel's running form)
+    s0 = s1 = s2 = 0.0
+    acc = 0.0
+    for wi, di in zip(w, d):
+        acc += wi * (di * di * s0 + s2 - 2.0 * di * s1)
+        s0 += wi
+        s1 += wi * di
+        s2 += wi * di * di
+
+    got = float(L.distortion_from_moments(
+        jnp.asarray(w.sum()), jnp.asarray((w * d).sum()),
+        jnp.asarray((w * d * d).sum())))
+    assert got == pytest.approx(acc, rel=1e-5)
+    # brute-force unordered-pairs-once cross-check
+    brute = sum(w[i] * w[j] * (d[i] - d[j]) ** 2
+                for i in range(n) for j in range(i + 1, n))
+    assert got == pytest.approx(brute, rel=1e-5)

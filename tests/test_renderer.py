@@ -142,6 +142,74 @@ def test_bilinear_resize_matches_torch():
     np.testing.assert_allclose(ours, t, atol=1e-5)
 
 
+def test_camera_mask_intersects_render_mask():
+    """out['mask'] = camera foreground mask AND depth-threshold mask
+    (gaussian_renderer/__init__.py:125-131); thr<=0 disables the depth cut;
+    no camera mask -> depth threshold only."""
+    import dataclasses
+
+    state, cam = make_scene(seed=7)
+    m = np.zeros((H, W), np.int32)
+    m[:, W // 2:] = 1          # right half foreground
+    cam_m = dataclasses.replace(cam, mask=m)
+    cfg = RenderConfig(width=W, height=H, entry_budget=1 << 14,
+                       depth_mode="traditional", mask_depth_thr=0.8)
+
+    out = render(state, cam_m.arrays(), cfg, jnp.zeros(3), sh_degree=0,
+                 scene_extent=100.0)
+    got = np.asarray(out["mask"])
+    assert not got[:, :W // 2].any()          # background excluded
+    assert got[:, W // 2:].any()              # some foreground survives
+
+    # thr <= 0: the mask is exactly the camera foreground mask
+    out0 = render(state, cam_m.arrays(), cfg._replace(mask_depth_thr=0.0),
+                  jnp.zeros(3), sh_degree=0, scene_extent=100.0)
+    np.testing.assert_array_equal(np.asarray(out0["mask"]), m > 0)
+
+    # no camera mask: depth-threshold only (round-2 behavior preserved)
+    out_nm = render(state, cam.arrays(), cfg, jnp.zeros(3), sh_degree=0,
+                    scene_extent=100.0)
+    depth = np.asarray(out_nm["depth"])
+    np.testing.assert_array_equal(np.asarray(out_nm["mask"]),
+                                  depth < 100.0 * 0.8)
+
+
+def test_masked_pixels_zero_dnormal_curv_grad():
+    """With an all-background camera mask the D-Normal and curvature losses
+    are zero AND contribute zero gradient (the reference indexes est_normal
+    by the combined mask, trainer.py:270-287)."""
+    import dataclasses
+
+    from vcr_gaus_tpu.train import losses as L
+
+    state, cam = make_scene(seed=8)
+    cam_bg = dataclasses.replace(
+        cam, mask=np.zeros((H, W), np.int32),
+        normal=np.tile(np.array([0, 0, -1], np.float32)[:, None, None],
+                       (1, H, W)))
+    arrs = cam_bg.arrays()
+    cfg = RenderConfig(width=W, height=H, entry_budget=1 << 14,
+                       depth_mode="traditional", mask_depth_thr=0.8)
+
+    def dnormal_plus_curv(params):
+        st = state._replace(params=params)
+        out = render(st, arrs, cfg, jnp.zeros(3), sh_degree=0,
+                     scene_extent=100.0)
+        gt_n = jnp.moveaxis(arrs.normal, 0, -1)
+        w = L.cos_weight(jax.lax.stop_gradient(out["normal"]), gt_n, 0.01)
+        dn = L.masked_monosdf_normal_loss(out["est_normal"], gt_n,
+                                          out["mask"], w)
+        curv = L.normal2curv(out["est_normal"],
+                             out["mask"][..., None].astype(jnp.float32))
+        return dn + jnp.abs(curv).mean()
+
+    val, g = jax.value_and_grad(dnormal_plus_curv)(state.params)
+    assert float(val) == 0.0
+    for name, arr in zip(g._fields, g):
+        if arr.size:
+            assert float(jnp.abs(arr).max()) == 0.0, name
+
+
 def test_render_with_precomputed_binning_matches():
     """The binning-lookahead path (bin_aux from compute_camera_binning) must
     reproduce the in-program-binning render and its gradients exactly."""

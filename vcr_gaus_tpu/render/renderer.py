@@ -119,9 +119,20 @@ def render(
     alpha = img[8]
     depth = wd_sum                      # alpha-weighted depth (fork semantics)
 
-    # post-kernel channel processing (gaussian_renderer/__init__.py:122-137)
+    # post-kernel channel processing (gaussian_renderer/__init__.py:122-137).
+    # The combined mask = camera foreground mask AND depth-threshold mask
+    # (gaussian_renderer/__init__.py:125-131): semantic labels >0 are
+    # foreground (BACKGROUND=0, tools/semantic_id.py); a camera without a
+    # loaded mask (has_mask False) counts as all-foreground, and a
+    # non-positive mask_depth_thr disables the depth cut (reference gates on
+    # cfg.optim.mask_depth_thr > 0).
     from ..utils.math import safe_normalize as _sn
-    mask = depth < scene_extent * cfg.mask_depth_thr
+    if cfg.mask_depth_thr > 0:
+        mask = depth < scene_extent * cfg.mask_depth_thr
+    else:
+        mask = jnp.ones(depth.shape, bool)
+    fg = jnp.logical_or(jnp.logical_not(cam.has_mask), cam.mask > 0)
+    mask = jnp.logical_and(mask, fg)
     nrm_hw3 = _sn(jnp.moveaxis(nrm, 0, -1))
     K = jnp.asarray([[cam.intr[0], 0, cam.intr[2]],
                      [0, cam.intr[1], cam.intr[3]],

@@ -245,13 +245,18 @@ def semantic_cross_entropy(logits, labels, num_cls: int):
 
 
 def distortion_from_moments(w_sum, wd_sum, wd2_sum):
-    """Order-independent pairwise depth distortion per pixel:
-    sum_ij w_i w_j (d_i - d_j)^2 = 2 (sum w * sum w d^2 - (sum w d)^2).
+    """Pairwise depth distortion per pixel, each unordered pair counted ONCE
+    (the in-kernel per-entry accumulation convention of the 2DGS-family
+    forks: entry i adds w_i * (d_i^2 * S0 + S2 - 2 d_i S1) over the prefix
+    moments S of entries in front of it, gaussian_renderer/__init__.py:160-162):
 
-    The reference fork accumulates this inside the CUDA kernel
-    (NUM_DIST channel, gaussian_renderer/__init__.py:154-162); we derive it
-    from the moment channels the Pallas kernel emits."""
-    return 2.0 * (w_sum * wd2_sum - wd_sum * wd_sum)
+        sum_{i<j} w_i w_j (d_i - d_j)^2  =  S0 * S2 - S1^2
+
+    — an exact algebraic identity, so it derives order-independently from
+    the moment channels the Pallas kernel emits (pinned by
+    tests/test_losses.py::test_distortion_matches_ordered_accumulation;
+    round 2 carried a 2x factor here, the full i!=j double count)."""
+    return w_sum * wd2_sum - wd_sum * wd_sum
 
 
 def depth_var_from_moments(w_sum, wd_sum, wd2_sum, eps: float = 1e-8):
