@@ -98,11 +98,33 @@ class Camera:
             arr = self.loaders[kind]()
         return arr
 
-    def arrays(self) -> CameraArrays:
+    def arrays(self, pixels: bool = True) -> CameraArrays:
         """Materialize the jit-facing f32 pytree. Compact host storage
         (u8 images, f16 normals) and lazy loaders are resolved here, so
-        the full-precision stack exists only transiently per use."""
+        the full-precision stack exists only transiently per use.
+
+        ``pixels=False`` skips image/normal/depth/mask decode entirely and
+        carries 1x1 placeholders — for geometry-only consumers
+        (render_stats sweeps: the reference's prune_list/get_visi_list
+        never read the camera pixels, tools/prune.py:25-69)."""
         h, w = self.height, self.width
+        if not pixels:
+            return CameraArrays(
+                viewmatrix=self.world_view_transform.astype(np.float32),
+                projmatrix=self.full_proj_transform.astype(np.float32),
+                cam_center=self.camera_center.astype(np.float32),
+                intr=self.intrinsics,
+                tanfov=np.array([math.tan(self.fovx / 2),
+                                 math.tan(self.fovy / 2)], np.float32),
+                image=np.zeros((3, 1, 1), np.float32),
+                normal=np.zeros((3, 1, 1), np.float32),
+                depth=np.zeros((1, 1), np.float32),
+                mask=np.zeros((1, 1), np.int32),
+                has_normal=np.asarray(False),
+                has_depth=np.asarray(False),
+                has_mask=np.asarray(False),
+                idx=np.asarray(self.idx, np.int32),
+            )
         img = self._component("image")
         if img is None:
             img = np.zeros((3, h, w), np.float32)

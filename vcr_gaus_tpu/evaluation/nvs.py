@@ -41,7 +41,10 @@ def lpips(img, gt, vgg_path: str | None = None, lin_path: str | None = None):
 def render_sets(state, cameras, rcfg, bg, out_dir: str, sh_degree: int = 3,
                 scene_extent: float = 1e9, save_gt: bool = True):
     """Render a camera list to renders/ + gt/ PNG pairs
-    (evaluation/render.py:28-55)."""
+    (evaluation/render.py:28-55). The whole render (projection -> binning ->
+    kernel -> u8 quantization) runs as ONE jitted program per view; only the
+    u8 image crosses back to the host."""
+    import jax
     from PIL import Image
 
     from ..render.renderer import render
@@ -49,15 +52,23 @@ def render_sets(state, cameras, rcfg, bg, out_dir: str, sh_degree: int = 3,
     if save_gt:
         os.makedirs(os.path.join(out_dir, "gt"), exist_ok=True)
 
+    bg = jnp.asarray(bg)
+
+    @jax.jit
+    def render_u8(state, arr):
+        out = render(state, arr, rcfg, bg, sh_degree,
+                     scene_extent=scene_extent)
+        rgb = jnp.clip(out["render"], 0, 1)
+        return jnp.round(jnp.moveaxis(rgb, 0, -1) * 255).astype(jnp.uint8)
+
     def to_u8(x):
         return (np.clip(np.asarray(x), 0, 1).transpose(1, 2, 0)
                 * 255).astype(np.uint8)
 
     for i, cam in enumerate(cameras):
         arr = cam.arrays() if hasattr(cam, "arrays") else cam
-        out = render(state, arr, rcfg, jnp.asarray(bg), sh_degree,
-                     scene_extent=scene_extent)
-        Image.fromarray(to_u8(out["render"])).save(
+        img = render_u8(state, jax.tree.map(jnp.asarray, arr))
+        Image.fromarray(np.asarray(img)).save(
             os.path.join(out_dir, "renders", f"{i:05d}.png"))
         if save_gt:
             Image.fromarray(to_u8(arr.image)).save(

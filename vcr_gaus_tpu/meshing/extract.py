@@ -33,25 +33,36 @@ def extract_mesh_from_state(
     scene_extent: float = 1e9,
     bg_color=None,
     progress=None,
+    normalize_depth: bool = True,
 ):
     """Fuse depth renders from every ``stride``-th camera and extract the
     isosurface. Returns (verts (V,3), faces (F,3)).
 
     Depth masking per view (tools/depth2mesh.py:45-58): alpha < thr -> 0,
     backprojected point outside the meta box -> 0, semantic background -> 0,
-    beyond max_depth -> 0."""
+    beyond max_depth -> 0.
+
+    ``normalize_depth=True`` integrates the alpha-normalized EXPECTED depth
+    (depth/alpha); the reference integrates the raw alpha-weighted render
+    (tools/depth2mesh.py:45-48) — pass False for bit-parity with it. With
+    the default alpha_thr gates (0.15-0.5) the normalization only moves
+    partially-opaque silhouette pixels.
+
+    Each view fuses as ONE jitted program (render -> mask -> TSDF
+    integrate); cameras contribute geometry only, so no image pixels are
+    decoded or transferred."""
     grid = T.create_grid(trans, scale, voxel_size)
     transj = jnp.asarray(np.asarray(trans, np.float32))
     scalej = jnp.asarray(np.asarray(scale, np.float32))
+    bgc = jnp.asarray(bg_color) if bg_color is not None else jnp.zeros(3)
 
-    for idx, cam in enumerate(cameras[::stride]):
-        arr = cam.arrays() if isinstance(cam, Camera) else cam
-        out = render(state, arr, rcfg, bg_color if bg_color is not None
-                     else jnp.zeros(3), sh_degree, scene_extent=scene_extent)
-        depth = out["depth"]
+    def fuse_view(state, grid, arr):
+        out = render(state, arr, rcfg, bgc, sh_degree,
+                     scene_extent=scene_extent, classifier=sem_classifier)
         alpha = out["alpha"]
-        depth = jnp.where(alpha > alpha_thr, depth / jnp.maximum(alpha, 1e-6),
-                          0.0)
+        depth = (out["depth"] / jnp.maximum(alpha, 1e-6)
+                 if normalize_depth else out["depth"])
+        depth = jnp.where(alpha > alpha_thr, depth, 0.0)
         if max_depth is not None:
             depth = jnp.where(depth < max_depth, depth, 0.0)
         # backproject and zero points outside the box
@@ -63,13 +74,16 @@ def extract_mesh_from_state(
                                            jnp.asarray(arr.viewmatrix))
         inside, _ = M.get_inside_normalized(world.reshape(-1, 3), transj,
                                             scalej, bound=1.0)
-        inside = inside.reshape(depth.shape)
-        depth = jnp.where(inside, depth, 0.0)
+        depth = jnp.where(inside.reshape(depth.shape), depth, 0.0)
         if sem_classifier is not None and "render_sem" in out:
             labels = jnp.argmax(out["render_sem"], axis=0)
             depth = jnp.where(labels != background_cls, depth, 0.0)
-        grid = T.integrate(grid, depth, jnp.asarray(arr.viewmatrix),
-                           jnp.asarray(arr.intr))
+        return T.integrate(grid, depth, arr.viewmatrix, arr.intr)
+
+    fuse_jit = jax.jit(fuse_view)
+    for idx, cam in enumerate(cameras[::stride]):
+        arr = cam.arrays(pixels=False) if isinstance(cam, Camera) else cam
+        grid = fuse_jit(state, grid, jax.tree.map(jnp.asarray, arr))
         if progress is not None:
             progress(idx)
 
@@ -88,26 +102,35 @@ def extract_mesh_unbounded_from_state(
     bg_color=None,
     n_clusters: int = 1,
     progress=None,
+    normalize_depth: bool = True,
 ):
     """Unbounded-scene meshing via mip-360 contraction
     (tools/mesh_utils.py:168-276): normalize the world by the camera bounding
     sphere, fuse depth into a dense contracted grid, marching tetrahedra,
-    inverse-contract vertices."""
+    inverse-contract vertices. One jitted program per view, geometry-only
+    cameras; ``normalize_depth`` as in extract_mesh_from_state."""
     centers = np.stack([
         (c.camera_center if isinstance(c, Camera) else
          np.asarray(c.cam_center)) for c in cameras])
     center = centers.mean(0)
     radius = float(np.linalg.norm(centers - center, axis=1).max()) * 1.1
     grid = T.create_contracted_grid(center, radius, resolution)
+    bgc = jnp.asarray(bg_color) if bg_color is not None else jnp.zeros(3)
 
+    def fuse_view(state, grid, arr):
+        out = render(state, arr, rcfg, bgc, sh_degree,
+                     scene_extent=scene_extent)
+        alpha = out["alpha"]
+        depth = (out["depth"] / jnp.maximum(alpha, 1e-6)
+                 if normalize_depth else out["depth"])
+        depth = jnp.where(alpha > alpha_thr, depth, 0.0)
+        return T.integrate(grid, depth, arr.viewmatrix, arr.intr,
+                           contracted=True)
+
+    fuse_jit = jax.jit(fuse_view)
     for idx, cam in enumerate(cameras[::stride]):
-        arr = cam.arrays() if isinstance(cam, Camera) else cam
-        out = render(state, arr, rcfg, bg_color if bg_color is not None
-                     else jnp.zeros(3), sh_degree, scene_extent=scene_extent)
-        depth = jnp.where(out["alpha"] > alpha_thr,
-                          out["depth"] / jnp.maximum(out["alpha"], 1e-6), 0.0)
-        grid = T.integrate(grid, depth, jnp.asarray(arr.viewmatrix),
-                           jnp.asarray(arr.intr), contracted=True)
+        arr = cam.arrays(pixels=False) if isinstance(cam, Camera) else cam
+        grid = fuse_jit(state, grid, jax.tree.map(jnp.asarray, arr))
         if progress is not None:
             progress(idx)
     return T.extract_mesh(grid, min_weight=1.0, n_clusters=n_clusters)
