@@ -37,6 +37,43 @@ def test_trainer_camera_dp(tmp_path):
     assert tr._prefetched is not None
 
 
+def test_trainer_dp_superstep(tmp_path):
+    """Supersteps compose with camera-DP (VERDICT r2 next #4): with
+    steps_per_call=4 and camera_batch=8 on the 8-CPU mesh, 4 DP iterations
+    chain in ONE shard_map program (lax.scan inside), the binning lookahead
+    flows across supersteps, and host actions still fire on their exact
+    iterations."""
+    from vcr_gaus_tpu.train.trainer import Trainer
+    root = str(tmp_path / "scene")
+    write_colmap_scene(root, n_cams=8, n_pts=200, width=48, height=32)
+    c = Config("configs/config_base.yaml")
+    c.logdir = str(tmp_path / "log")
+    c.model.source_path = root
+    c.model.resolution = 1
+    c.model.depth_type = "traditional"
+    c.tpu.capacity = 512
+    c.tpu.camera_batch = 8
+    c.tpu.steps_per_call = 4
+    c.optim.densify_from_iter = 2
+    c.optim.densification_interval = 10   # iteration 10 = a host action
+    c.optim.iterations = 40
+    tr = Trainer(c)
+    assert tr.mesh is not None and tr.mesh.devices.size == 8
+    seen = []
+    while tr.iteration < 14:
+        losses, aux = tr.train_step()
+        seen.append(tr.iteration)
+    # supersteps advance 4 at a time but stop AT the densify boundary
+    assert 10 in seen, seen
+    assert np.isfinite(float(losses["total"]))
+    assert np.isfinite(np.asarray(tr.state.params.xyz)).all()
+    assert tr.state.params.xyz.sharding.is_fully_replicated
+    # the stacked lookahead is live for the following superstep
+    assert tr._bin_aux_k is not None
+    # densify actually fired (densification stats flowed through the scan)
+    assert float(np.asarray(tr.state.denom).max()) > 0
+
+
 def test_trainer_camera_dp_multi_cam_per_chip_with_nets(tmp_path):
     """camera_batch > n_devices (k cameras per chip, gradients averaged)
     with the semantic + appearance networks enabled (VERDICT r1 #5)."""

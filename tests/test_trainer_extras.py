@@ -108,6 +108,37 @@ def test_final_iteration_hooks(tmp_path):
         c.logdir, "point_cloud", "iteration_12"))
 
 
+def test_debug_from_enables_nan_tracing(tmp_path):
+    """--train.debug_from parity (reference trainer.py:331-332): from the
+    configured iteration the trainer turns on jax_debug_nans and host-checks
+    every step's losses for finiteness."""
+    import jax
+
+    from vcr_gaus_tpu.train.trainer import Trainer
+    root = str(tmp_path / "scene")
+    write_colmap_scene(root, n_cams=3, n_pts=150, width=48, height=32)
+    c = Config("configs/config_base.yaml")
+    c.logdir = str(tmp_path / "log")
+    c.model.source_path = root
+    c.model.resolution = 1
+    c.model.depth_type = "traditional"
+    c.tpu.capacity = 256
+    c.optim.densify_from_iter = 10_000
+    c.train.debug_from = 2
+    tr = Trainer(c)
+    try:
+        tr.train_step()
+        assert not tr._debug_on           # iteration 1 < debug_from
+        tr.train_step()                   # enables at iteration >= 2
+        tr.train_step()
+        assert tr._debug_on
+        assert jax.config.jax_debug_nans
+        with pytest.raises(FloatingPointError, match="iteration"):
+            tr._debug_check({"total": float("nan")})
+    finally:
+        jax.config.update("jax_debug_nans", False)
+
+
 def test_blender_reader_and_training(tmp_path):
     """Write a tiny NeRF-synthetic layout and train a few steps."""
     from PIL import Image

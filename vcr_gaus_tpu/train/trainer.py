@@ -346,24 +346,27 @@ def make_dp_train_step(cfg, rcfg: RenderConfig, weights: dict,
     @functools.lru_cache(maxsize=None)
     def build(sh_degree: int, gates: Gates, k: int, has_bin: bool,
               has_next: bool):
-        def local(state, net, cam_batch, bg, lr_xyz, bin_aux, next_cam):
+        def step_local(state, net, cam, bg, lr_xyz, bin_, nxt):
+            """One DP step on this chip's k-camera share (pmean inside)."""
             if k == 1:
                 # drop the singleton local axis (and regain it on output)
-                cam = jax.tree.map(lambda x: x[0], cam_batch)
-                bin_ = (jax.tree.map(lambda x: x[0], bin_aux)
-                        if has_bin else None)
-                nxt = (jax.tree.map(lambda x: x[0], next_cam)
-                       if has_next else None)
-            else:
-                cam, bin_ = cam_batch, (bin_aux if has_bin else None)
-                nxt = next_cam if has_next else None
+                cam = jax.tree.map(lambda x: x[0], cam)
+                bin_ = (jax.tree.map(lambda x: x[0], bin_)
+                        if bin_ is not None else None)
+                nxt = (jax.tree.map(lambda x: x[0], nxt)
+                       if nxt is not None else None)
             st, nt, losses, aux = impl(
                 state, net, cam, bg, lr_xyz, sh_degree=sh_degree,
                 gates=gates, axis=axis, bin_aux=bin_, next_cam=nxt, k=k)
-            if has_next and k == 1:
+            if nxt is not None and k == 1:
                 aux["next_bin_aux"] = jax.tree.map(
                     lambda x: x[None], aux["next_bin_aux"])
             return st, nt, losses, aux
+
+        def local(state, net, cam_batch, bg, lr_xyz, bin_aux, next_cam):
+            return step_local(state, net, cam_batch, bg, lr_xyz,
+                              bin_aux if has_bin else None,
+                              next_cam if has_next else None)
 
         aux_spec = {"overflow": P(), "num_entries": P(), "n_active": P()}
         if has_next:
@@ -375,6 +378,51 @@ def make_dp_train_step(cfg, rcfg: RenderConfig, weights: dict,
                       P(axis) if has_next else P()),
             out_specs=(P(), P(), P(), aux_spec),
             check_vma=False)
+        return jax.jit(sharded), step_local
+
+    @functools.lru_cache(maxsize=None)
+    def build_multi(sh_degree: int, gates: Gates, k: int, has_bin: bool):
+        """Superstep x camera-DP composition: a lax.scan of s DP steps INSIDE
+        the shard_map, so per-step dispatch overhead is paid once per s steps
+        on the multi-chip path too (round-2 weak #3: supersteps and DP did
+        not compose). Inputs carry a leading step axis: cams (s, B, ...)
+        sharded over dim 1, bgs (s, 3), lrs (s,); the binning lookahead
+        chains step i's next_bin_aux into step i+1 of the NEXT superstep,
+        exactly like make_multi_train_step."""
+        _, step_local = build(sh_degree, gates, k, has_bin, True)
+
+        def local(state, net, cams, bgs, lrs, bin_aux, next_cams):
+            def body(carry, xs):
+                st, nt = carry
+                if has_bin:
+                    cam, bg, lr, ba, nc = xs
+                else:
+                    cam, bg, lr, nc = xs
+                    ba = None
+                st, nt, losses, aux = step_local(st, nt, cam, bg, lr, ba, nc)
+                nba = aux.pop("next_bin_aux")
+                return (st, nt), (losses, aux, nba)
+
+            xs = ((cams, bgs, lrs, bin_aux, next_cams) if has_bin
+                  else (cams, bgs, lrs, next_cams))
+            (state, net), (losses_s, aux_s, nba_s) = jax.lax.scan(
+                body, (state, net), xs)
+            losses = jax.tree.map(lambda x: x[-1], losses_s)
+            aux = {"overflow": jnp.any(aux_s["overflow"]),
+                   "num_entries": jnp.max(aux_s["num_entries"]),
+                   "n_active": aux_s["n_active"][-1],
+                   "next_bin_aux": nba_s}
+            return state, net, losses, aux
+
+        aux_spec = {"overflow": P(), "num_entries": P(), "n_active": P(),
+                    "next_bin_aux": P(None, axis)}
+        sharded = shard_map(
+            local, mesh=mesh,
+            in_specs=(P(), P(), P(None, axis), P(), P(),
+                      P(None, axis) if has_bin else P(),
+                      P(None, axis)),
+            out_specs=(P(), P(), P(), aux_spec),
+            check_vma=False)
         return jax.jit(sharded)
 
     def train_step(state, net, cam_batch, bg, lr_xyz, sh_degree: int,
@@ -384,10 +432,24 @@ def make_dp_train_step(cfg, rcfg: RenderConfig, weights: dict,
             raise ValueError(f"camera batch {batch} not divisible by "
                              f"mesh size {n_chips}")
         k = batch // n_chips
-        return build(sh_degree, gates, k, bin_aux is not None,
-                     next_cam is not None)(
-            state, net, cam_batch, bg, lr_xyz, bin_aux, next_cam)
+        fn, _ = build(sh_degree, gates, k, bin_aux is not None,
+                      next_cam is not None)
+        return fn(state, net, cam_batch, bg, lr_xyz, bin_aux, next_cam)
 
+    def multi_train_step(state, net, cams, bgs, lrs, sh_degree: int,
+                         gates: Gates, bin_aux=None, next_cams=None):
+        """s supersteps over the mesh: cams leaves (s, B, ...), B a multiple
+        of the mesh size; next_cams REQUIRED (the lookahead is what makes
+        supersteps pay on this path too)."""
+        batch = jax.tree.leaves(cams)[0].shape[1]
+        if batch % n_chips:
+            raise ValueError(f"camera batch {batch} not divisible by "
+                             f"mesh size {n_chips}")
+        k = batch // n_chips
+        fn = build_multi(sh_degree, gates, k, bin_aux is not None)
+        return fn(state, net, cams, bgs, lrs, bin_aux, next_cams)
+
+    train_step.multi = multi_train_step
     return train_step
 
 
@@ -432,7 +494,8 @@ class Trainer:
         # derive data-loading flags from the loss recipe (trainer.py:46-53)
         load_normal = ("mono_normal" in w or "depth_normal" in w)
         load_depth = "mono_depth" in w
-        load_mask = "semantic" in w
+        load_mask = ("semantic" in w
+                     or bool(getattr(cfg.model, "load_mask", False)))
 
         self.scene = load_scene_info(
             cfg.model.source_path, images_dir=cfg.model.images,
@@ -469,8 +532,9 @@ class Trainer:
             width=cam0.width, height=cam0.height, ch_sem=ch_sem,
             depth_mode=cfg.model.depth_type,
             entry_budget=max(1 << 14, cfg.tpu.entry_budget_factor * cap),
-            mask_depth_thr=(cfg.optim.mask_depth_thr
-                            if cfg.optim.mask_depth_thr > 0 else 1e9),
+            # thr <= 0 disables the depth cut inside render() (reference
+            # gates on cfg.optim.mask_depth_thr > 0)
+            mask_depth_thr=float(cfg.optim.mask_depth_thr),
             max_sh_degree=cfg.model.sh_degree)
 
         # side networks
@@ -553,10 +617,19 @@ class Trainer:
         self._gui = None
         self._gui_paused = False
         self._gui_render_cache: dict = {}
+        # jit caches for the non-training sweeps (shared pattern with
+        # _gui_pump's per-(W,H) cache): stats scans + eval metric programs
+        self._stats_fn_cache: dict = {}
+        self._eval_fn_cache: dict = {}
         if int(getattr(cfg, "port", -1) or -1) > 0:
             from ..render.network_gui import NetworkGUI
             self._gui = NetworkGUI(str(getattr(cfg, "ip", "127.0.0.1")),
                                    int(cfg.port))
+        # --train.debug_from parity (reference trainer.py:331-332 flips the
+        # rasterizer debug flag at iteration N; here: NaN tracing + per-step
+        # finite checks from that iteration on)
+        self._debug_from = int(getattr(cfg.train, "debug_from", -1))
+        self._debug_on = False
         start_ckpt = getattr(cfg.train, "start_checkpoint", None)
         if start_ckpt:
             self.restore_checkpoint(start_ckpt)
@@ -611,11 +684,31 @@ class Trainer:
     def _stage_dp_batch(self):
         """Stack + shard the next camera batch over the mesh (prefetched a
         step ahead so host->device transfer overlaps compute, like the
-        single-chip path)."""
+        single-chip path). Returns (sampled indices, sharded batch) so an
+        abandoned prefetch can be requeued."""
         from ..parallel import dp
-        cams = [self._cam_arrays[self._next_camera_index()]
+        idxs = [self._next_camera_index()
                 for _ in range(self.camera_batch)]
-        return dp.shard_camera_batch(dp.stack_cameras(cams), self.mesh)
+        batch = dp.shard_camera_batch(
+            dp.stack_cameras([self._cam_arrays[i] for i in idxs]), self.mesh)
+        return idxs, batch
+
+    def _stage_dp_camera_stack(self, s: int):
+        """Sample + stack + shard s camera batches (leaves (s, B, ...),
+        sharded over the CAMERA dim) for one DP superstep."""
+        from jax.sharding import NamedSharding
+        from jax.sharding import PartitionSpec as P
+
+        from ..parallel import dp
+        rows = [[self._next_camera_index()
+                 for _ in range(self.camera_batch)] for _ in range(s)]
+        steps = [dp.stack_cameras([self._cam_arrays[i] for i in row])
+                 for row in rows]
+        stack = jax.tree.map(lambda *xs: np.stack(xs), *steps)
+        sharding = NamedSharding(self.mesh, P(None, "data"))
+        flat = [i for row in rows for i in row]
+        return flat, jax.tree.map(lambda x: jax.device_put(x, sharding),
+                                  stack)
 
     def _invalidate_binning(self):
         """Drop the lookahead binning (both the single-step and the stacked
@@ -655,6 +748,8 @@ class Trainer:
             return False
         if any(self._is_action_iter(j) for j in range(it + 1, it + k)):
             return False
+        if not self._debug_on and it < self._debug_from < it + k:
+            return False       # debug switch would fall mid-window
         return (self._gates(it + 1) == self._gates(it + k)
                 and self._sh_degree(it + 1) == self._sh_degree(it + k))
 
@@ -709,12 +804,77 @@ class Trainer:
         self._accumulate_overflow(aux)
         self._maybe_react_overflow()
         self._post_step_actions()
+        self._debug_check(losses)
         return losses, aux
 
+    def _train_dp_superstep(self, s: int):
+        """s camera-DP iterations in ONE dispatch: the lax.scan superstep
+        body runs INSIDE the shard_map (make_dp_train_step.multi), so
+        multi-chip training amortizes per-step dispatch exactly like the
+        single-chip path (round-2 weak #3). Camera staging, background/LR
+        schedules and the stacked binning lookahead mirror
+        _train_superstep."""
+        it0 = self.iteration
+        iters = range(it0 + 1, it0 + s + 1)
+        if self._prefetched is not None:
+            # return the single-step path's prefetched batch to the pool
+            idxs, _ = self._prefetched
+            self.viewpoint_stack.extend(idxs)
+            self._prefetched = None
+        if self._staged is None:
+            self._staged = self._stage_dp_camera_stack(s)
+        _, cams = self._staged
+        self._staged = self._stage_dp_camera_stack(s)  # next superstep's
+        _, next_cams = self._staged                    # = this lookahead
+        o = self.cfg.optim
+        if o.random_background:
+            bgs = np.stack([np.random.default_rng(j).random(3).astype(
+                np.float32) for j in iters])
+        else:
+            bgs = np.broadcast_to(self.bg, (s, 3)).astype(np.float32)
+        lrs = np.asarray([self._lr_xyz(j) for j in iters], np.float32)
+        self.iteration = it0 + s
+        self.state, self.net, losses, aux = self._step_fn.multi(
+            self.state, self.net, cams, jnp.asarray(bgs), jnp.asarray(lrs),
+            sh_degree=self._sh_degree(it0 + 1), gates=self._gates(it0 + 1),
+            bin_aux=self._bin_aux_k, next_cams=next_cams)
+        self._bin_aux_k = aux.pop("next_bin_aux")
+        self._accumulate_overflow(aux)
+        self._maybe_react_overflow()
+        self._post_step_actions()
+        self._debug_check(losses)
+        return losses, aux
+
+    def _maybe_enable_debug(self):
+        """Iteration-triggered debug switch (the reference's
+        ``(current_iteration - 1) == debug_from`` hook, trainer.py:331-332):
+        from iteration debug_from on, jax_debug_nans traces NaN producers
+        inside jitted programs and every subsequent step's losses are
+        host-checked for finiteness (the fetch serializes async dispatch,
+        which is the point — it pins the failing iteration)."""
+        if self._debug_on or self._debug_from < 0:
+            return
+        if self.iteration >= self._debug_from:
+            self._debug_on = True
+            jax.config.update("jax_debug_nans", True)
+            print(f"[debug] NaN tracing + per-step finite checks enabled "
+                  f"from iteration {self.iteration}", flush=True)
+
+    def _debug_check(self, losses):
+        if not self._debug_on:
+            return
+        for k, v in losses.items():
+            if not np.isfinite(float(v)):
+                raise FloatingPointError(
+                    f"non-finite loss '{k}' at iteration {self.iteration}")
+
     def train_step(self):
+        self._maybe_enable_debug()
         k = self.steps_per_call
-        if k > 1 and self.mesh is None and self._multi_window_ok(k):
-            return self._train_superstep(k)
+        if k > 1 and self._multi_window_ok(k):
+            if self.mesh is None:
+                return self._train_superstep(k)
+            return self._train_dp_superstep(k)
         if self._staged is not None:
             self._requeue_staged()
         self._bin_aux_k = None
@@ -725,9 +885,9 @@ class Trainer:
             # penalty and had no transfer overlap)
             if self._prefetched is None:
                 self._prefetched = self._stage_dp_batch()
-            cam = self._prefetched
+            _, cam = self._prefetched
             self._prefetched = self._stage_dp_batch()
-            next_cam = self._prefetched
+            _, next_cam = self._prefetched
         else:
             cam = self._pick_camera()
             next_cam = self._prefetched      # the lookahead target
@@ -745,6 +905,7 @@ class Trainer:
         self._accumulate_overflow(aux)
         self._maybe_react_overflow()
         self._post_step_actions()
+        self._debug_check(losses)
         return losses, aux
 
     def _accumulate_overflow(self, aux):
@@ -933,11 +1094,11 @@ class Trainer:
         splits = {"train": self._cam_arrays[0]}
         if test_cams:
             splits["test"] = test_cams[0].arrays()
-        classifier = self._classifier()
+        with_cls = bool(self.ch_sem) and self.net.cls_params is not None
+        render_fn = self._full_render_fn(with_cls, self._sh_degree())
         for mode, cam in splits.items():
-            out = render(self.state, cam, self.rcfg, jnp.asarray(self.bg),
-                         self._sh_degree(), scene_extent=self.extent,
-                         classifier=classifier)
+            out = render_fn(self.state, cam, jnp.asarray(self.bg),
+                            self.net.cls_params)
             if mode == "train":
                 VZ.save_panels(os.path.join(self.cfg.logdir, "vis"),
                                f"iter_{self.iteration:06d}", out, cam.image,
@@ -1042,6 +1203,52 @@ class Trainer:
                 self._multi_step_fn = make_multi_train_step(
                     *args, k=self.steps_per_call)
 
+    # -- batched per-Gaussian stats sweeps ------------------------------------
+
+    def _stats_sweep(self, cam_arrays: list, rcfg) -> tuple:
+        """Accumulated per-Gaussian (count, importance) over a camera list,
+        chunked into lax.scan programs (the reference's prune_list renders
+        per camera in an eager Python loop, tools/prune.py:25-47 — at
+        protocol scale that is hundreds of per-camera dispatches; here one
+        jit-cached program sweeps a whole chunk on device). Pad cameras
+        carry weight 0 so the chunk shape (and compile) is reused."""
+        chunk = min(int(getattr(self.cfg.tpu, "stats_chunk", 64)),
+                    max(len(cam_arrays), 1))
+        fn = self._stats_fn_cache.get((rcfg, chunk))
+        if fn is None:
+            def scan_fn(state, cams, wts, bg, _rcfg=rcfg):
+                def body(acc, xs):
+                    cam, wt = xs
+                    c, i = render_stats(state, cam, _rcfg, bg)
+                    return (acc[0] + wt * c, acc[1] + wt * i), None
+                init = (jnp.zeros((state.capacity,), jnp.float32),
+                        jnp.zeros((state.capacity,), jnp.float32))
+                acc, _ = jax.lax.scan(body, init, (cams, wts))
+                return acc
+            fn = jax.jit(scan_fn)
+            self._stats_fn_cache[(rcfg, chunk)] = fn
+        from ..parallel import dp
+        bg = jnp.asarray(self.bg)
+        count = jnp.zeros((self.state.capacity,), jnp.float32)
+        imp = jnp.zeros_like(count)
+        for s in range(0, len(cam_arrays), chunk):
+            batch = list(cam_arrays[s:s + chunk])
+            wts = np.ones(chunk, np.float32)
+            if len(batch) < chunk:
+                wts[len(batch):] = 0.0
+                batch = batch + [batch[-1]] * (chunk - len(batch))
+            c, i = fn(self.state, dp.stack_cameras(batch),
+                      jnp.asarray(wts), bg)
+            count, imp = count + c, imp + i
+        return count, imp
+
+    def _full_stats_cams(self) -> list:
+        """getFullCameras() analog — train + test cameras (the reference
+        accumulates importance over the full list, trainer.py:377-380),
+        geometry-only (the stats kernels never read camera pixels)."""
+        cams = list(self.scene.train_cameras) + list(self.scene.test_cameras)
+        return [c.arrays(pixels=False) for c in cams]
+
     # -- box-guided densification (trainer.py:361-368, 687-702) --------------
 
     def get_visi_mask_acc(self, n: int, up: bool, around: bool,
@@ -1057,13 +1264,11 @@ class Trainer:
                 sample_mode=sample_mode, size=size, seed=self.iteration)
             rcfg_v = self.rcfg._replace(width=size, height=size, ch_sem=0)
         else:
-            cams = [self._cam_arrays[self.rng.randint(
-                0, len(self._cam_arrays) - 1)] for _ in range(n)]
+            cams = [self.scene.train_cameras[self.rng.randint(
+                0, len(self.scene.train_cameras) - 1)].arrays(pixels=False)
+                for _ in range(n)]
             rcfg_v = self.rcfg
-        count = jnp.zeros((self.state.capacity,), jnp.float32)
-        for cam in cams:
-            c, _ = render_stats(self.state, cam, rcfg_v, jnp.asarray(self.bg))
-            count = count + c
+        count, _ = self._stats_sweep(cams, rcfg_v)
         visi = count > 0
         inside, _ = M.get_inside_normalized(
             self.state.params.xyz, jnp.asarray(self.trans),
@@ -1089,12 +1294,11 @@ class Trainer:
     # -- LightGaussian prune (trainer.py:376-385) ----------------------------
 
     def light_gaussian_prune(self, prune_round: int):
+        """Importance accumulated over the FULL camera list — train + test,
+        the reference's getFullCameras() (trainer.py:377-380) — in batched
+        scan sweeps rather than one dispatch per camera."""
         o = self.cfg.optim.prune
-        imp = jnp.zeros((self.state.capacity,), jnp.float32)
-        for cam in self._cam_arrays:
-            _, imp_c = render_stats(self.state, cam, self.rcfg,
-                                    jnp.asarray(self.bg))
-            imp = imp + imp_c
+        _, imp = self._stats_sweep(self._full_stats_cams(), self.rcfg)
         v = GM.v_imp_score(self.state, imp, o.v_pow)
         self.state = GM.prune_by_importance(
             self.state, v, (o.decay ** prune_round) * o.percent)
@@ -1131,64 +1335,109 @@ class Trainer:
 
     def save_importance(self):
         """Final per-Gaussian importance dump (the reference's
-        imp_score.npz, trainer.py:432-436)."""
-        imp = jnp.zeros((self.state.capacity,), jnp.float32)
-        for cam in self._cam_arrays:
-            _, imp_c = render_stats(self.state, cam, self.rcfg,
-                                    jnp.asarray(self.bg))
-            imp = imp + imp_c
+        imp_score.npz, trainer.py:432-436) over the full train+test list."""
+        _, imp = self._stats_sweep(self._full_stats_cams(), self.rcfg)
         v = GM.v_imp_score(self.state, imp, self.cfg.optim.prune.v_pow)
         np.savez(os.path.join(self.cfg.logdir, "imp_score.npz"),
                  np.asarray(v))
 
     # -- evaluation sweep (trainer.py:504-587) -------------------------------
 
-    def _classifier(self):
-        """Semantic head over rasterized feature channels (logits_2_label
-        input, gaussian_model.py:82-86)."""
-        if not self.ch_sem or self.net.cls_params is None:
-            return None
-        clf = APP.SemanticClassifier(self.num_cls)
-        params = self.net.cls_params
-        return lambda f: clf.apply(params, f)
+
+    def _full_render_fn(self, with_classifier: bool, sh_degree: int):
+        """Jit-cached full render() for the panel/eval paths (same pattern
+        as _gui_pump's per-(W,H) cache) — the eager facade is dozens of
+        dispatches per camera on the tunneled backend."""
+        key = ("full", self.rcfg, with_classifier, sh_degree)
+        fn = self._eval_fn_cache.get(key)
+        if fn is not None:
+            return fn
+        rcfg = self.rcfg
+        ext = float(self.extent)
+        num_cls = self.num_cls
+
+        def go(state, cam, bg, cls_params):
+            classifier = None
+            if with_classifier:
+                clf = APP.SemanticClassifier(num_cls)
+                classifier = lambda f: clf.apply(cls_params, f)
+            return render(state, cam, rcfg, bg, sh_degree,
+                          scene_extent=ext, classifier=classifier)
+
+        fn = jax.jit(go)
+        self._eval_fn_cache[key] = fn
+        return fn
+
+    def _eval_metrics_fn(self, with_classifier: bool, sh_degree: int):
+        """One jit-cached program per (rcfg, classifier, sh_degree): render a
+        camera and reduce to scalar metrics ON DEVICE — the eager op-by-op
+        sweep fetched a full image per camera (23 MB at protocol res through
+        the tunnel); this fetches three scalars + a num_cls^2 vector."""
+        key = (self.rcfg, with_classifier, sh_degree)
+        fn = self._eval_fn_cache.get(key)
+        if fn is not None:
+            return fn
+        rcfg = self.rcfg
+        ext = float(self.extent)
+        num_cls = self.num_cls
+
+        def metrics(state, cam, bg, cls_params):
+            classifier = None
+            if with_classifier:
+                clf = APP.SemanticClassifier(num_cls)
+                classifier = lambda f: clf.apply(cls_params, f)
+            out = render(state, cam, rcfg, bg, sh_degree,
+                         scene_extent=ext, classifier=classifier)
+            img = jnp.clip(out["render"], 0, 1)
+            mse = jnp.mean((img - cam.image) ** 2)
+            res = {"psnr": -10.0 * jnp.log10(mse + 1e-12),
+                   "l1": L.l1_loss(img, cam.image)}
+            if with_classifier:
+                # confusion-matrix row (JaccardIndex.update analog,
+                # reference trainer.py:530,569-577); zero when the camera
+                # carries no mask
+                pred = jnp.argmax(out["render_sem"], axis=0)
+                gt = jnp.clip(cam.mask, 0, num_cls - 1)
+                idx = (gt * num_cls + pred).ravel()
+                conf = jnp.zeros((num_cls * num_cls,), jnp.int32
+                                 ).at[idx].add(1)
+                res["conf"] = jnp.where(cam.has_mask, conf, 0)
+            return res
+
+        fn = jax.jit(metrics)
+        self._eval_fn_cache[key] = fn
+        return fn
 
     def evaluate(self, cameras: list[Camera] | None = None,
                  max_cams: int = 0) -> dict:
         """PSNR/L1 (+ mIoU when semantics are on) over a camera list.
         max_cams=0 sweeps every camera (the reference's full-split test(),
-        trainer.py:504-587)."""
-        cams = ([c.arrays() for c in cameras] if cameras is not None
-                else self._cam_arrays)
+        trainer.py:504-587). Renders + metric reductions run as ONE
+        jit-cached program per camera; device results are fetched only
+        after the whole sweep is dispatched (async pipelining)."""
+        cams = (cameras if cameras is not None
+                else self.scene.train_cameras)
         if max_cams:
             cams = cams[:max_cams]
-        classifier = self._classifier()
-        psnrs, l1s = [], []
-        # mIoU via a confusion matrix accumulated over all views
-        # (JaccardIndex.update/compute, reference trainer.py:197,530,569-577)
-        conf = (np.zeros((self.num_cls, self.num_cls), np.int64)
-                if classifier is not None else None)
+        with_cls = bool(self.ch_sem) and self.net.cls_params is not None
+        fn = self._eval_metrics_fn(with_cls, self._sh_degree())
+        bg = jnp.asarray(self.bg)
+        outs = []
         for cam in cams:
-            out = render(self.state, cam, self.rcfg, jnp.asarray(self.bg),
-                         self._sh_degree(), scene_extent=self.extent,
-                         classifier=classifier)
-            img = jnp.clip(out["render"], 0, 1)
-            mse = jnp.mean((img - cam.image) ** 2)
-            psnrs.append(float(-10.0 * jnp.log10(mse + 1e-12)))
-            l1s.append(float(L.l1_loss(img, cam.image)))
-            if conf is not None and bool(cam.has_mask):
-                pred = np.asarray(jnp.argmax(out["render_sem"], axis=0))
-                gt = np.clip(np.asarray(cam.mask), 0, self.num_cls - 1)
-                idx = gt.ravel() * self.num_cls + pred.ravel()
-                conf += np.bincount(
-                    idx, minlength=self.num_cls ** 2
-                ).reshape(self.num_cls, self.num_cls)
+            arr = cam.arrays() if isinstance(cam, Camera) else cam
+            outs.append(fn(self.state, arr, bg, self.net.cls_params))
+        psnrs = [float(o["psnr"]) for o in outs]
+        l1s = [float(o["l1"]) for o in outs]
         res = {"psnr": float(np.mean(psnrs)), "l1": float(np.mean(l1s))}
-        if conf is not None and conf.sum() > 0:
-            inter = np.diag(conf).astype(np.float64)
-            union = conf.sum(0) + conf.sum(1) - np.diag(conf)
-            present = union > 0
-            res["miou"] = float(
-                (inter[present] / union[present]).mean())
+        if with_cls:
+            conf = np.sum([np.asarray(o["conf"], np.int64) for o in outs],
+                          axis=0).reshape(self.num_cls, self.num_cls)
+            if conf.sum() > 0:
+                inter = np.diag(conf).astype(np.float64)
+                union = conf.sum(0) + conf.sum(1) - np.diag(conf)
+                present = union > 0
+                res["miou"] = float(
+                    (inter[present] / union[present]).mean())
         return res
 
 
