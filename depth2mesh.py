@@ -34,7 +34,17 @@ def main():
     ap.add_argument("--prob_thr", type=float, default=0.5)
     ap.add_argument("--num_cluster", type=int, default=1)
     ap.add_argument("--mesh_name", default="ours")
-    ap.add_argument("--prune_outliers", action="store_true")
+    ap.add_argument("--prune_outliers", action=argparse.BooleanOptionalAction,
+                    default=True,
+                    help="denoise + crop-to-box the loaded model before "
+                         "fusion (the reference always does this, "
+                         "tools/depth2mesh.py:144; --no-prune_outliers "
+                         "opts out)")
+    ap.add_argument("--normalize_depth", action=argparse.BooleanOptionalAction,
+                    default=True,
+                    help="fuse alpha-normalized expected depth (default); "
+                         "--no-normalize_depth fuses the raw alpha-weighted "
+                         "render like the reference (tools/depth2mesh.py:45-48)")
     ap.add_argument("--unbounded", action="store_true",
                     help="mip-360 contraction meshing for unbounded scenes "
                          "(reference tools/mesh_utils.py:168-276) instead "
@@ -85,9 +95,29 @@ def main():
         inside, _ = get_inside_normalized(state.params.xyz,
                                           jnp.asarray(info.trans),
                                           jnp.asarray(info.scale))
-        keep = remove_radius_outlier(state.params.xyz, nb_points=5,
-                                     radius=0.01 * info.radius)
-        state = prune(state, ~(keep & inside) & state.active)
+        # the reference's prune_outliers keeps filter_points() = inside-box
+        # splats with >=5 neighbors within 0.01*extent, where the neighbor
+        # pool is the INSIDE subset only (scene/gaussian_model.py:680-697);
+        # compact on host so padded slots and outside splats cannot serve
+        # as neighbors
+        pool = np.asarray(state.active) & np.asarray(inside)
+        keep = np.zeros(pool.shape[0], bool)
+        if pool.any():
+            sub = np.asarray(state.params.xyz)[pool]
+            keep[pool] = np.asarray(remove_radius_outlier(
+                jnp.asarray(sub), nb_points=5, radius=0.01 * info.radius))
+        if not keep.any() and pool.any():
+            # degenerate cloud (too sparse for the radius filter at this
+            # extent — e.g. a barely-trained tiny model): fall back to the
+            # inside-box crop only rather than fusing an empty model
+            print("prune_outliers: radius filter would remove every splat; "
+                  "keeping the inside-box crop instead", flush=True)
+            keep = pool
+        n_outside = int(np.asarray(state.active).sum()) - int(pool.sum())
+        n_outlier = int(pool.sum()) - int(keep.sum())
+        state = prune(state, jnp.asarray(np.asarray(state.active) & ~keep))
+        print(f"prune_outliers: kept {int(keep.sum())} (removed "
+              f"{n_outlier} outliers, {n_outside} outside-box)", flush=True)
 
     cam0 = info.train_cameras[0]
     rcfg = RenderConfig(width=cam0.width, height=cam0.height,
@@ -104,7 +134,7 @@ def main():
             state, info.train_cameras, rcfg, resolution=args.resolution,
             alpha_thr=args.prob_thr, stride=args.split,
             n_clusters=args.num_cluster, sh_degree=cfg.model.sh_degree,
-            scene_extent=info.radius,
+            scene_extent=info.radius, normalize_depth=args.normalize_depth,
             progress=lambda i: print(f"  fused view {i}", end="\r"))
     else:
         voxel = args.voxel_size or float(cfg.model.mesh.voxel_size)
@@ -121,6 +151,7 @@ def main():
             voxel_size=voxel, alpha_thr=args.prob_thr, stride=args.split,
             max_depth=args.max_depth, n_clusters=args.num_cluster,
             sh_degree=cfg.model.sh_degree, scene_extent=info.radius,
+            normalize_depth=args.normalize_depth,
             progress=lambda i: print(f"  fused view {i}", end="\r"))
     out = os.path.join(logdir, f"{args.mesh_name}.ply")
     save_mesh_ply(out, verts, faces)

@@ -66,17 +66,27 @@ def main():
                        "point_cloud.ply")
     assert os.path.exists(ply), "check_finish: PLY missing"
 
+    # content-gated stages opt out of the reference-parity outlier prune:
+    # its 0.01*extent radius test assumes protocol-density clouds (~1M
+    # splats) that a synthetic 8k-splat scene cannot satisfy
     run([py, "depth2mesh.py", f"--cfg_path={logdir}/config.yaml",
-         "--voxel_size=0.05", "--max_depth=8"])
+         "--voxel_size=0.05", "--max_depth=8", "--no-prune_outliers"])
     from vcr_gaus_tpu.utils.ply import read_ply
     mesh = read_ply(os.path.join(logdir, "ours.ply"))
     n_verts = len(mesh["x"])
     assert n_verts > 5000, f"mesh too small: {n_verts} verts"
 
+    # the default (prune-on, reference tools/depth2mesh.py:144) path must
+    # run end-to-end on-chip too
+    run([py, "depth2mesh.py", f"--cfg_path={logdir}/config.yaml",
+         "--voxel_size=0.05", "--max_depth=8", "--mesh_name=ours_pruned"])
+    assert os.path.exists(os.path.join(logdir, "ours_pruned.ply"))
+
     # unbounded (mip-360 contracted grid) path on-chip — round-1 validated
     # only the bounded grid on hardware (tools/mesh_utils.py:168-276)
     run([py, "depth2mesh.py", f"--cfg_path={logdir}/config.yaml",
-         "--unbounded", "--resolution=160", "--mesh_name=ours_unbounded"])
+         "--unbounded", "--resolution=160", "--mesh_name=ours_unbounded",
+         "--no-prune_outliers"])
     mesh_u = read_ply(os.path.join(logdir, "ours_unbounded.ply"))
     n_verts_u = len(mesh_u["x"])
     assert n_verts_u > 2000, f"unbounded mesh too small: {n_verts_u} verts"

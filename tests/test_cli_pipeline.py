@@ -52,9 +52,12 @@ def test_cli_pipeline(pipeline_dirs):
     assert os.path.exists(os.path.join(logdir, "config.yaml"))
     assert os.path.exists(os.path.join(logdir, "cameras.json"))
 
-    # stage 2: mesh extraction from the saved run
+    # stage 2: mesh extraction from the saved run. The reference-parity
+    # default (prune_outliers on, tools/depth2mesh.py:144) denoises with a
+    # 0.01*extent radius test that a 300-point synthetic cloud cannot pass,
+    # so the content assertions opt out; the default path is exercised below.
     run_cli("depth2mesh.py", f"--cfg_path={logdir}/config.yaml",
-            "--voxel_size=0.08", "--max_depth=8")
+            "--voxel_size=0.08", "--max_depth=8", "--no-prune_outliers")
     mesh = os.path.join(logdir, "ours.ply")
     assert os.path.exists(mesh), "check_finish: mesh missing"
     from vcr_gaus_tpu.utils.ply import read_ply
@@ -63,9 +66,18 @@ def test_cli_pipeline(pipeline_dirs):
 
     # stage 2b: unbounded (mip-360 contraction) meshing from the same run
     run_cli("depth2mesh.py", f"--cfg_path={logdir}/config.yaml",
-            "--unbounded", "--resolution=96", "--mesh_name=ours_unbounded")
+            "--unbounded", "--resolution=96", "--mesh_name=ours_unbounded",
+            "--no-prune_outliers")
     du = read_ply(os.path.join(logdir, "ours_unbounded.ply"))
     assert len(du["x"]) > 50
+
+    # stage 2c: the default prune-on path runs end-to-end and reports the
+    # inside/outlier split (raw-depth fusion flag exercised too)
+    out2c = run_cli("depth2mesh.py", f"--cfg_path={logdir}/config.yaml",
+                    "--voxel_size=0.08", "--max_depth=8",
+                    "--no-normalize_depth", "--mesh_name=ours_pruned")
+    assert "prune_outliers: kept" in out2c
+    assert os.path.exists(os.path.join(logdir, "ours_pruned.ply"))
 
     # stage 3: NVS render + metrics (no test split in the tiny scene ->
     # evaluate the train renders, the 360 pipeline protocol)

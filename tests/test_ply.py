@@ -37,6 +37,19 @@ def test_mesh_faces_roundtrip(tmp_path):
     np.testing.assert_array_equal(back["__faces__"], faces)
 
 
+def test_empty_mesh_roundtrip(tmp_path):
+    """A zero-vertex / zero-face mesh PLY must read back as empty arrays
+    (a fully-pruned degenerate model writes one; eval tooling loads it)."""
+    p = tmp_path / "empty.ply"
+    write_ply(str(p), {"x": np.zeros(0, np.float32),
+                       "y": np.zeros(0, np.float32),
+                       "z": np.zeros(0, np.float32)},
+              faces=np.zeros((0, 3), np.int32))
+    back = read_ply(str(p))
+    assert back["x"].shape == (0,)
+    assert back["__faces__"].shape == (0, 3)
+
+
 def test_ascii_ply(tmp_path):
     txt = (
         "ply\nformat ascii 1.0\nelement vertex 2\n"

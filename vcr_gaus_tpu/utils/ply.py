@@ -84,6 +84,9 @@ def read_ply(path: str) -> dict[str, np.ndarray]:
                 # assume homogeneous list length (triangle faces)
                 cnt_dt = _PLY_DTYPES[props[0][1].split(":")[1]]
                 idx_dt = _PLY_DTYPES[props[0][1].split(":")[2]]
+                if count == 0:
+                    out.setdefault("__faces__", np.zeros((0, 3), np.int64))
+                    continue
                 first_raw = f.read(np.dtype(cnt_dt).itemsize)
                 first = int(np.frombuffer(first_raw, cnt_dt)[0])
                 row_bytes = (np.dtype(cnt_dt).itemsize
