@@ -20,7 +20,8 @@ def enable_compilation_cache(path: str | None = None) -> str | None:
     """Point jax at a persistent compilation cache dir; returns the dir
     (None when disabled). Call before the first jit dispatch; calling
     after is harmless (later compiles still cache)."""
-    if os.environ.get("VCR_NO_COMPILE_CACHE"):
+    if os.environ.get("VCR_NO_COMPILE_CACHE", "").lower() in (
+            "1", "true", "yes"):
         return None
     import jax
 
@@ -33,8 +34,15 @@ def enable_compilation_cache(path: str | None = None) -> str | None:
         jax.config.update("jax_compilation_cache_dir", path)
         # cache even quick compiles: on the tunneled backend the round
         # trip to the compile service dominates, not XLA itself
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     except Exception:
+        # Don't leave the cache half-enabled: if a later knob update raised
+        # after the dir was set, callers would see "disabled" while caching
+        # is actually on.
+        try:
+            jax.config.update("jax_compilation_cache_dir", None)
+        except Exception:
+            pass
         return None  # ancient jax without the knobs: compile as before
     return path
