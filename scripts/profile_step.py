@@ -33,6 +33,9 @@ def main():
     ap.add_argument("--iters", type=int, default=4)
     ap.add_argument("--only", type=str, default=None,
                     help="substring filter: run only matching stages")
+    ap.add_argument("--scale_mult", type=float, default=1.0,
+                    help="inflate splat scales (4.0 = bench.py dtu_full's "
+                         "trained-model tile coverage)")
     args = ap.parse_args()
 
     import jax
@@ -97,6 +100,10 @@ def main():
     cols = rng.uniform(0, 1, (n, 3)).astype(np.float32)
     cap = 1 << int(np.ceil(np.log2(n * 1.3)))
     state = GM.create_from_pcd(pts, cols, cap, sh_degree=3)
+    if args.scale_mult != 1.0:
+        state = state._replace(params=state.params._replace(
+            log_scale=state.params.log_scale
+            + np.float32(np.log(args.scale_mult))))
     img = rng.uniform(0, 1, (3, args.h, args.w)).astype(np.float32)
     nrm = rng.normal(size=(3, args.h, args.w)).astype(np.float32)
     nrm /= np.linalg.norm(nrm, axis=0, keepdims=True)

@@ -430,3 +430,51 @@ def test_early_termination_matches_oracle():
     g_ref = np.asarray(jax.grad(loss_ref)(feats))
     scale = np.abs(g_ref).max()
     np.testing.assert_allclose(g_pallas, g_ref, atol=2e-3 * scale, rtol=5e-2)
+
+
+def test_slab_lane_gather_matches_direct():
+    """slab_lane_gather (the table-size-penalty dodge, k>1 path) must equal
+    the plain lane gather exactly, including pad-lane zero reads and the
+    k=1 small-table fallthrough."""
+    rng = np.random.default_rng(3)
+    C, L, E = 5, 4096, 10_000
+    table = jnp.asarray(rng.normal(size=(C, L)).astype(np.float32))
+    idx = jnp.asarray(rng.integers(0, L, E).astype(np.int32))
+    direct = np.asarray(table[:, idx])
+    for k in (1, 2, 4):
+        got = np.asarray(B.slab_lane_gather(table, idx, k=k))
+        np.testing.assert_array_equal(got, direct)
+    # adaptive pick stays 1 below the floor-rate threshold
+    assert B.slab_k(L) == 1
+    assert B.slab_k(1 << 21) == 4
+    assert B.slab_k((1 << 20) + 1) == 1   # non-divisible stays direct
+    # pad lanes read zero through the slab path
+    padded = B.pad_lanes_for_slabs(table, min_pad=1)
+    assert padded.shape[1] % 4 == 0
+    pad_idx = jnp.asarray(np.full(8, L, np.int32))
+    np.testing.assert_array_equal(
+        np.asarray(B.slab_lane_gather(padded, pad_idx, k=4)), 0.0)
+
+
+def test_segment_sum_grouped_matches_scatter():
+    """The slab-gathered single-boundary segment sum (backward of the entry
+    builder) must equal a reference scatter-add, including truncation to the
+    kept-entry count."""
+    rng = np.random.default_rng(4)
+    n, budget, c = 37, 256, 3
+    cnts = rng.integers(0, 14, n).astype(np.int32)
+    offs = (np.cumsum(cnts) - cnts).astype(np.int32)
+    total = int(cnts.sum())
+    e_al = 384
+    # grouped order: gaussian g owns slots [offs[g], offs[g]+cnts[g])
+    gid_of_slot = np.repeat(np.arange(n), cnts)
+    perm = rng.permutation(e_al).astype(np.int32)[:budget]
+    g_entries = rng.normal(size=(c, e_al)).astype(np.float32)
+    kept = min(total, budget)
+    expect = np.zeros((c, n), np.float32)
+    for j in range(kept):
+        expect[:, gid_of_slot[j]] += g_entries[:, perm[j]]
+    got = np.asarray(R._segment_sum_grouped(
+        jnp.asarray(g_entries), jnp.asarray(perm), jnp.asarray(offs),
+        jnp.asarray(cnts), jnp.asarray(total), budget))
+    np.testing.assert_allclose(got, expect, atol=1e-5)

@@ -86,6 +86,59 @@ def cdiv_arr(x: jnp.ndarray, m: int) -> jnp.ndarray:
     return -(-x // m)
 
 
+def slab_k(lanes: int, target: int = 1 << 18, cap: int = 4) -> int:
+    """Slab factor for slab_lane_gather: largest power-of-two k <= cap that
+    divides `lanes` and keeps lanes/k >= target. 1 below ~512k lanes, where
+    the plain gather already runs at its floor rate."""
+    k = 1
+    while k < cap and lanes % (k * 2) == 0 and lanes // (k * 2) >= target:
+        k *= 2
+    return k
+
+
+def slab_lane_gather(table: jnp.ndarray, idx: jnp.ndarray,
+                     k: int | None = None) -> jnp.ndarray:
+    """``table[:, idx]`` for a (C, L) table, decomposed to dodge XLA's
+    table-size gather penalty.
+
+    Measured on v5e (scripts/bench_entry_ops.py, E = 9.8M indices): the TPU
+    lane gather costs ~2.7 ns/index from a 16k-lane table but ~22 ns/index
+    from a 9.8M-lane one, and the cost tracks the table's STATIC lane count
+    — index locality is irrelevant (a 4 KB-window index stream is exactly as
+    slow as uniform random). Folding lanes into sublanes — (C, L) ->
+    (k*C, L/k), ONE gather retrieving all k slab candidates per index, then
+    a one-hot select — runs at the smaller table's rate: 220 -> 131 ms for
+    the protocol-scale grouping gather. k is capped at 4: the (k*C, E)
+    intermediate is the new cost (k=8 measures the same but doubles it)."""
+    C, L = table.shape
+    n_idx = idx.shape[0]
+    if k is None:
+        k = slab_k(L)
+    if k == 1:
+        return table[:, idx]
+    lk = L // k
+    t = table.reshape(C, k, lk).swapaxes(0, 1).reshape(k * C, lk)
+    slab = idx // lk
+    lane = idx - slab * lk
+    g = t[:, lane].reshape(k, C, n_idx)
+    sel = slab[None, None, :] == jnp.arange(k, dtype=idx.dtype)[:, None, None]
+    return jnp.sum(jnp.where(sel, g, 0), axis=0)
+
+
+def pad_lanes_for_slabs(table: jnp.ndarray, min_pad: int = 0) -> jnp.ndarray:
+    """Zero-pad a (C, L) table's lane count so slab_k can divide it: at
+    least ``min_pad`` extra lanes, total rounded up to a multiple of the
+    slab cap (4). Padded lanes read as zeros; callers' indices never have
+    to reach them unless they point at the first pad lane by contract."""
+    L = table.shape[1]
+    pad = max(min_pad, 0)
+    total = -(-(L + pad) // 4) * 4
+    if total == L:
+        return table
+    return jnp.concatenate(
+        [table, jnp.zeros((table.shape[0], total - L), table.dtype)], 1)
+
+
 def cumsum_lanes(x):
     """Inclusive cumulative sum along the LAST axis as blockwise
     (..., rows, 128) x (128, 128) upper-triangular MXU matmuls plus a
@@ -244,17 +297,17 @@ def bin_and_gather(
                           entry_budget)                    # (E,) ascending
 
     f32 = jnp.float32
-    aux = jnp.stack([offsets.astype(f32), count.astype(f32),
-                     x0.astype(f32), y0.astype(f32),
-                     jnp.maximum(span_w, 1).astype(f32),
-                     depth_sg.astype(f32)], axis=1)        # (N, 6)
-    rows = aux[gid]                                        # (E, 6) row gather
-    off_e = rows[:, 0].astype(jnp.int32)
-    cnt_e = rows[:, 1].astype(jnp.int32)
-    x0_e = rows[:, 2].astype(jnp.int32)
-    y0_e = rows[:, 3].astype(jnp.int32)
-    sw_e = rows[:, 4].astype(jnp.int32)
-    depth_e = rows[:, 5]
+    aux_t = jnp.stack([offsets.astype(f32), count.astype(f32),
+                       x0.astype(f32), y0.astype(f32),
+                       jnp.maximum(span_w, 1).astype(f32),
+                       depth_sg.astype(f32)], axis=0)      # (6, N)
+    rows = slab_lane_gather(pad_lanes_for_slabs(aux_t), gid)   # (6, E)
+    off_e = rows[0].astype(jnp.int32)
+    cnt_e = rows[1].astype(jnp.int32)
+    x0_e = rows[2].astype(jnp.int32)
+    y0_e = rows[3].astype(jnp.int32)
+    sw_e = rows[4].astype(jnp.int32)
+    depth_e = rows[5]
 
     e_idx = jnp.arange(entry_budget, dtype=jnp.int32)
     slot = e_idx - off_e
@@ -302,9 +355,10 @@ def bin_and_gather(
                    gauss_counts=count)
     entries_t = None
     if payload is not None:
-        payload_z = jnp.concatenate(
-            [payload, jnp.zeros((payload.shape[0], 1), payload.dtype)], 1)
-        entries_t = payload_z[:, sorted_gid]               # ONE lane gather
+        # pad lane n (the pad-gid column) and the slab-divisibility lanes
+        # all read zero
+        payload_z = pad_lanes_for_slabs(payload, min_pad=1)
+        entries_t = slab_lane_gather(payload_z, sorted_gid)
     return binn, entries_t
 
 

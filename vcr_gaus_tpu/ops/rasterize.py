@@ -78,10 +78,9 @@ def _make_entry_builder_pre(entry_budget: int):
 
     @jax.custom_vjp
     def build(payload_t, sorted_gid, perm, offs, cnts, total):
-        payload_z = jnp.concatenate(
-            [payload_t, jnp.zeros((payload_t.shape[0], 1),
-                                  payload_t.dtype)], 1)
-        return payload_z[:, sorted_gid]
+        return B.slab_lane_gather(B.pad_lanes_for_slabs(payload_t,
+                                                        min_pad=1),
+                                  sorted_gid)
 
     def build_fwd(payload_t, sorted_gid, perm, offs, cnts, total):
         return (build(payload_t, sorted_gid, perm, offs, cnts, total),
@@ -89,18 +88,33 @@ def _make_entry_builder_pre(entry_budget: int):
 
     def build_bwd(res, g_entries_t):
         # perm is (entry_budget,): columns beyond the real entries are
-        # pad-slot gradients that no segment [lo, hi) can reach (hi <= kept)
+        # pad-slot gradients that no segment can reach (boundaries <= kept)
         perm, offs, cnts, total = res
-        c = g_entries_t.shape[0]
-        csum = B.cumsum_lanes(g_entries_t[:, perm])
-        csum = jnp.concatenate([jnp.zeros((c, 1), csum.dtype), csum], 1)
-        kept = jnp.minimum(total, entry_budget)
-        lo = jnp.minimum(offs, kept)
-        hi = jnp.minimum(offs + cnts, kept)
-        return (csum[:, hi] - csum[:, lo], None, None, None, None, None)
+        return (_segment_sum_grouped(g_entries_t, perm, offs, cnts, total,
+                                     entry_budget),
+                None, None, None, None, None)
 
     build.defvjp(build_fwd, build_bwd)
     return build
+
+
+def _segment_sum_grouped(g_entries_t, perm, offs, cnts, total,
+                         entry_budget: int):
+    """Per-gaussian sums of per-entry gradients: slab-gather the gradient
+    columns into gid-grouped order, lane-blocked cumsum, then ONE
+    slab-gathered boundary row differenced adjacently (offsets are an exact
+    exclusive cumsum, so segment ends ARE the next segment's start —
+    hi[g] == lo[g+1] — and a single (C, N+1) boundary fetch replaces the
+    round-2 lo/hi pair)."""
+    c = g_entries_t.shape[0]
+    grouped = B.slab_lane_gather(g_entries_t, perm)
+    csum = B.cumsum_lanes(grouped)
+    csum = jnp.concatenate([jnp.zeros((c, 1), csum.dtype), csum], 1)
+    kept = jnp.minimum(total, entry_budget)
+    bounds = jnp.minimum(
+        jnp.concatenate([offs, (offs[-1] + cnts[-1])[None]]), kept)
+    s = B.slab_lane_gather(B.pad_lanes_for_slabs(csum), bounds)
+    return s[:, 1:] - s[:, :-1]
 
 
 @functools.lru_cache(maxsize=None)
@@ -134,16 +148,12 @@ def _make_entry_builder(width: int, height: int, entry_budget: int):
     def build_bwd(res, cot):
         g_entries_t, _ = cot                          # (C, E_al)
         gid_al, offs, cnts, total = res
-        c, e_al = g_entries_t.shape
+        e_al = g_entries_t.shape[1]
         iota = jnp.arange(e_al, dtype=jnp.int32)
         _, perm = jax.lax.sort((gid_al, iota), num_keys=1)
         perm = perm[:entry_budget]    # pads (gid == N) sort after all real
-        csum = B.cumsum_lanes(g_entries_t[:, perm])
-        csum = jnp.concatenate([jnp.zeros((c, 1), csum.dtype), csum], 1)
-        kept = jnp.minimum(total, entry_budget)
-        lo = jnp.minimum(offs, kept)
-        hi = jnp.minimum(offs + cnts, kept)
-        g_payload_t = csum[:, hi] - csum[:, lo]
+        g_payload_t = _segment_sum_grouped(g_entries_t, perm, offs, cnts,
+                                           total, entry_budget)
         return (g_payload_t, None, None, None, None)
 
     build.defvjp(build_fwd, build_bwd)
