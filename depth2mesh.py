@@ -70,6 +70,8 @@ def main():
     from vcr_gaus_tpu.render.renderer import RenderConfig
 
     cfg = Config(args.cfg_path, overrides=overrides)
+    from vcr_gaus_tpu.ops import rasterize_tpu as _K
+    _K.set_tile(int(cfg.tpu.get("tile", 16)))
     logdir = os.path.dirname(os.path.abspath(args.cfg_path))
     it = args.iteration if args.iteration > 0 else latest_iteration(logdir)
     ply = os.path.join(logdir, "point_cloud", f"iteration_{it}",

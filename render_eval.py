@@ -37,6 +37,8 @@ def main():
     from vcr_gaus_tpu.render.renderer import RenderConfig
 
     cfg = Config(args.cfg_path, overrides=overrides)
+    from vcr_gaus_tpu.ops import rasterize_tpu as _K
+    _K.set_tile(int(cfg.tpu.get("tile", 16)))
     logdir = os.path.dirname(os.path.abspath(args.cfg_path))
     if args.iteration > 0:
         it = args.iteration

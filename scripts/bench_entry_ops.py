@@ -245,7 +245,9 @@ def main():
         sel = (slab[None, :] == jnp.arange(k, dtype=idx.dtype)[:, None])
         return jnp.sum(g * sel[:, None, :].astype(g.dtype), axis=0)
 
-    for k_slab in (4, 8, 16):
+    # k=16's (E, k*C) intermediate is ~9.4 GB at protocol E and OOMs the
+    # chip (measured 2026-08-19); k=8 already ties k=4, so stop there.
+    for k_slab in (4, 8):
         def perm_slab(carry, x, _k=k_slab):
             return dep(carry, slab_gather(carry, x, _k))
         scan_time(f"bwd: perm SLAB-gather k={k_slab} (C,E)",

@@ -304,8 +304,8 @@ def test_binning_exact_coverage():
     feats, radius, cam = make_scene(n=50, seed=6)
     mean2d = feats[:, [PF.F_MEAN_X, PF.F_MEAN_Y]]
     depth_z = feats[:, PF.F_DEPTH_Z]
-    binn = B.bin_gaussians(mean2d, radius, depth_z, W, H, R.TILE, 4096)
-    n_tx, n_ty = B.tile_grid(W, H, R.TILE)
+    binn = B.bin_gaussians(mean2d, radius, depth_z, W, H, K.TILE, 4096)
+    n_tx, n_ty = B.tile_grid(W, H, K.TILE)
     gid = np.asarray(binn.sorted_gid)
     starts = np.asarray(binn.tile_starts)
     counts = np.asarray(binn.tile_counts)
@@ -327,10 +327,10 @@ def test_binning_exact_coverage():
         for i in range(len(r)):
             if r[i] <= 0:
                 continue
-            x0 = min(max(int((m2d[i, 0] - r[i]) / R.TILE), 0), n_tx)
-            y0 = min(max(int((m2d[i, 1] - r[i]) / R.TILE), 0), n_ty)
-            x1 = min(max(int((m2d[i, 0] + r[i] + R.TILE - 1) / R.TILE), 0), n_tx)
-            y1 = min(max(int((m2d[i, 1] + r[i] + R.TILE - 1) / R.TILE), 0), n_ty)
+            x0 = min(max(int((m2d[i, 0] - r[i]) / K.TILE), 0), n_tx)
+            y0 = min(max(int((m2d[i, 1] - r[i]) / K.TILE), 0), n_ty)
+            x1 = min(max(int((m2d[i, 0] + r[i] + K.TILE - 1) / K.TILE), 0), n_tx)
+            y1 = min(max(int((m2d[i, 1] + r[i] + K.TILE - 1) / K.TILE), 0), n_ty)
             if x0 <= tx < x1 and y0 <= ty < y1:
                 expect.add(i)
         assert got == expect, f"tile {t}: {got ^ expect}"
@@ -351,7 +351,7 @@ def test_entry_builder_grad_matches_scatter_even_truncated():
     rng = np.random.default_rng(3)
 
     for budget in (4096, 128):     # 128 forces truncation on this scene
-        binn = B.bin_gaussians(mean2d, radius, depth_z, W, H, R.TILE, budget)
+        binn = B.bin_gaussians(mean2d, radius, depth_z, W, H, K.TILE, budget)
         build = R._make_entry_builder(W, H, budget)
         payload_t = jnp.asarray(rng.normal(size=(8, n)).astype(np.float32))
         cot = jnp.asarray(
@@ -454,6 +454,11 @@ def test_slab_lane_gather_matches_direct():
     pad_idx = jnp.asarray(np.full(8, L, np.int32))
     np.testing.assert_array_equal(
         np.asarray(B.slab_lane_gather(padded, pad_idx, k=4)), 0.0)
+    # chunked index stream (the HBM cap on the (k*C, n) intermediate) is
+    # bit-identical, including a ragged final chunk
+    tiny = 64 * C * table.dtype.itemsize      # 64-index chunks
+    got = np.asarray(B.slab_lane_gather(table, idx, k=4, chunk_bytes=tiny))
+    np.testing.assert_array_equal(got, direct)
 
 
 def test_segment_sum_grouped_matches_scatter():
@@ -478,3 +483,40 @@ def test_segment_sum_grouped_matches_scatter():
         jnp.asarray(g_entries), jnp.asarray(perm), jnp.asarray(offs),
         jnp.asarray(cnts), jnp.asarray(total), budget))
     np.testing.assert_allclose(got, expect, atol=1e-5)
+
+
+def test_tile_32_matches_tile_16():
+    """The tpu.tile knob (K.set_tile) must not change the rendered image or
+    the gradients — within-tile compositing is depth-ordered at any tile
+    edge; only the entry expansion E changes. Guards the cache invalidation
+    too: a stale tile-16 entry builder served after set_tile(32) would
+    produce garbage tile offsets."""
+    from vcr_gaus_tpu.ops import rasterize_tpu as K
+
+    feats, radius, cam = make_scene(n=50, seed=7)
+    depth_z = feats[:, PF.F_DEPTH_Z]
+    mean2d = feats[:, [PF.F_MEAN_X, PF.F_MEAN_Y]]
+    rng = np.random.default_rng(8)
+    g_img = jnp.asarray(rng.normal(size=(9 + CH_SEM, H, W)).astype(np.float32))
+
+    def run(tile):
+        K.set_tile(tile)
+
+        def loss(f):
+            out, _ = R.rasterize_image(
+                f, jnp.zeros((f.shape[0], 2)), mean2d, radius, depth_z,
+                jnp.asarray(cam), W, H, CH_SEM, "traditional",
+                entry_budget=4096)
+            return jnp.sum(out * g_img), out
+
+        (l, out), g = jax.value_and_grad(loss, has_aux=True)(feats)
+        return np.asarray(out), np.asarray(g)
+
+    try:
+        out16, g16 = run(16)
+        out32, g32 = run(32)
+    finally:
+        K.set_tile(16)
+    np.testing.assert_allclose(out32, out16, atol=1e-5, rtol=1e-5)
+    scale = max(np.abs(g16).max(), 1e-8)
+    np.testing.assert_allclose(g32, g16, atol=1e-5 * scale, rtol=1e-4)

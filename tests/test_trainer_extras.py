@@ -293,3 +293,31 @@ def test_gui_pump_serves_frames(tmp_path):
         return r
     gui2.poll = poll_then_drop
     tr._gui_pump()                    # returns instead of spinning forever
+
+
+def test_tile_knob_flows_from_config(tmp_path):
+    """tpu.tile=32 (the 1600-wide-protocol default, configs/dtu/base.yaml)
+    must reach the kernel module before the first trace and train finitely;
+    restores tile 16 for the rest of the suite."""
+    from vcr_gaus_tpu.ops import rasterize_tpu as K
+    from vcr_gaus_tpu.train.trainer import Trainer
+
+    scene = str(tmp_path / "scene")
+    write_colmap_scene(scene, n_cams=4, n_pts=200, width=64, height=48,
+                       with_priors=True)
+    cfg = Config("configs/config_base.yaml")
+    cfg.logdir = str(tmp_path / "run")
+    cfg.model.source_path = scene
+    cfg.model.resolution = 1
+    cfg.model.depth_type = "traditional"
+    cfg.optim.densify_from_iter = 10_000      # no densify in 30 iters
+    cfg.tpu.capacity = 1024
+    cfg.tpu.tile = 32
+    try:
+        tr = Trainer(cfg)
+        assert K.TILE == 32 and K.P == 1024
+        hist = tr.train(max_iters=30, log_every=30)
+        assert np.isfinite(hist[-1]["total"])
+    finally:
+        K.set_tile(16)
+    assert K.TILE == 16

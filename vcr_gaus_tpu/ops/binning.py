@@ -45,6 +45,7 @@ finite; the trainer's response to the flag is grow-and-recompile either way.
 
 from __future__ import annotations
 
+import os
 from typing import NamedTuple
 
 import jax
@@ -97,7 +98,8 @@ def slab_k(lanes: int, target: int = 1 << 18, cap: int = 4) -> int:
 
 
 def slab_lane_gather(table: jnp.ndarray, idx: jnp.ndarray,
-                     k: int | None = None) -> jnp.ndarray:
+                     k: int | None = None,
+                     chunk_bytes: int = 256 << 20) -> jnp.ndarray:
     """``table[:, idx]`` for a (C, L) table, decomposed to dodge XLA's
     table-size gather penalty.
 
@@ -109,20 +111,39 @@ def slab_lane_gather(table: jnp.ndarray, idx: jnp.ndarray,
     (k*C, L/k), ONE gather retrieving all k slab candidates per index, then
     a one-hot select — runs at the smaller table's rate: 220 -> 131 ms for
     the protocol-scale grouping gather. k is capped at 4: the (k*C, E)
-    intermediate is the new cost (k=8 measures the same but doubles it)."""
+    intermediate is the new cost (k=8 measures the same but doubles it).
+
+    XLA materializes that (k*C, n_idx) gather output, so the index stream
+    is processed in static chunks of <= chunk_bytes worth of intermediate
+    (~1M indices at k=4, C=16): without the cap, the full training step at
+    protocol scale carries two ~2.5 GB temporaries past their use and OOMs
+    a 16 GB chip that fits comfortably pre-slab."""
     C, L = table.shape
     n_idx = idx.shape[0]
     if k is None:
-        k = slab_k(L)
+        k = 1 if os.environ.get("VCR_NO_SLAB") else slab_k(L)
     if k == 1:
         return table[:, idx]
     lk = L // k
     t = table.reshape(C, k, lk).swapaxes(0, 1).reshape(k * C, lk)
     slab = idx // lk
     lane = idx - slab * lk
-    g = t[:, lane].reshape(k, C, n_idx)
-    sel = slab[None, None, :] == jnp.arange(k, dtype=idx.dtype)[:, None, None]
-    return jnp.sum(jnp.where(sel, g, 0), axis=0)
+    arange_k = jnp.arange(k, dtype=idx.dtype)[:, None, None]
+
+    def _one(lane_c, slab_c):
+        n = lane_c.shape[0]
+        g = t[:, lane_c].reshape(k, C, n)
+        sel = slab_c[None, None, :] == arange_k
+        return jnp.sum(jnp.where(sel, g, 0), axis=0)
+
+    chunk = max(1, chunk_bytes // (k * C * table.dtype.itemsize))
+    if n_idx <= chunk:
+        return _one(lane, slab)
+    # static unrolled chunks (last one ragged); each keeps its own
+    # (k*C, chunk) intermediate small enough to overlap-and-free
+    parts = [_one(lane[s:s + chunk], slab[s:s + chunk])
+             for s in range(0, n_idx, chunk)]
+    return jnp.concatenate(parts, axis=1)
 
 
 def pad_lanes_for_slabs(table: jnp.ndarray, min_pad: int = 0) -> jnp.ndarray:

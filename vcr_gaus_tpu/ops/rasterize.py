@@ -34,7 +34,13 @@ from . import binning as B
 from . import projection as PF
 from . import rasterize_tpu as K
 
-TILE = K.TILE
+def clear_tile_caches() -> None:
+    """Drop every cached builder whose trace captured K.TILE — called by
+    K.set_tile so a tile change cannot serve stale-tile programs (the
+    caches are keyed on shapes only)."""
+    _make_entry_builder_pre.cache_clear()
+    _make_entry_builder.cache_clear()
+    _make_core.cache_clear()
 
 
 class BinAux(NamedTuple):
@@ -60,7 +66,7 @@ def compute_bin_aux(mean2d, radius, depth_z, width, height,
     segments all end at or before min(num_entries, entry_budget). Slicing
     here shrinks the backward's perm gather and cumsum by the pad block
     (~35% of E_al at bench shapes)."""
-    binn = B.bin_gaussians(mean2d, radius, depth_z, width, height, TILE,
+    binn = B.bin_gaussians(mean2d, radius, depth_z, width, height, K.TILE,
                            entry_budget, align=K.ALIGN, extents=extents)
     e_al = binn.sorted_gid.shape[0]
     iota = jnp.arange(e_al, dtype=jnp.int32)
@@ -132,7 +138,7 @@ def _make_entry_builder(width: int, height: int, entry_budget: int):
 
     def _run(payload_t, mean2d, radius, depth_z, extents):
         return B.bin_and_gather(mean2d, radius, depth_z, payload_t,
-                                width, height, TILE, entry_budget,
+                                width, height, K.TILE, entry_budget,
                                 align=K.ALIGN, extents=extents)
 
     @jax.custom_vjp
@@ -214,7 +220,7 @@ def rasterize_image(
     binning is skipped and the gathers use input indices (fast path)."""
     n, F = feats.shape
     assert F == PF.feature_dim(ch_sem)
-    n_tx, n_ty = B.tile_grid(width, height, TILE)
+    n_tx, n_ty = B.tile_grid(width, height, K.TILE)
     f_pad = K.feat_rows(ch_sem)
 
     # the payload is built TRANSPOSED — (F_PAD, N), gaussians along lanes —
@@ -241,8 +247,8 @@ def rasterize_image(
     out_tiles = core(feats_t, binn.tile_starts, binn.tile_counts, cam)
 
     c_out = K.out_channels(ch_sem)
-    img = out_tiles[:, :, :c_out].reshape(n_ty, n_tx, TILE, TILE, c_out)
-    img = img.transpose(4, 0, 2, 1, 3).reshape(c_out, n_ty * TILE, n_tx * TILE)
+    img = out_tiles[:, :, :c_out].reshape(n_ty, n_tx, K.TILE, K.TILE, c_out)
+    img = img.transpose(4, 0, 2, 1, 3).reshape(c_out, n_ty * K.TILE, n_tx * K.TILE)
     return img[:, :height, :width], binn
 
 
@@ -253,14 +259,14 @@ def rasterize_entry_stats(feats, mean2d, radius, depth_z, cam, width, height,
     gaussian_renderer/__init__.py:250-571) collapsed into one stats kernel.
     Returns (count (N,), importance (N,))."""
     n, F = feats.shape
-    n_tx, n_ty = B.tile_grid(width, height, TILE)
+    n_tx, n_ty = B.tile_grid(width, height, K.TILE)
     f_pad = K.feat_rows(ch_sem)
     pad_c = f_pad - F
     ft = feats.T
     payload_t = (jnp.concatenate([ft, jnp.zeros((pad_c, n), feats.dtype)], 0)
                  if pad_c else ft)
     binn, entries_t = B.bin_and_gather(
-        mean2d, radius, depth_z, payload_t, width, height, TILE,
+        mean2d, radius, depth_z, payload_t, width, height, K.TILE,
         entry_budget, align=K.ALIGN, extents=extents)
 
     stats = K.rasterize_stats(entries_t, binn.tile_starts,

@@ -38,6 +38,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 
 import jax
 import jax.numpy as jnp
@@ -46,7 +47,13 @@ from jax.experimental.pallas import tpu as pltpu
 
 from . import projection as PF
 
-TILE = 16
+# Tile edge (pixels). 16 matches the CUDA fork's BLOCK_X/Y; 32 quarters the
+# entry count E of large-splat scenes (every E-proportional stage — binning
+# sorts, entry gather, backward segment-sum — shrinks with it) at the price
+# of 4x pixel-work per surviving entry in this kernel. Import-time knob so
+# A/B runs don't need a code edit; the trained output is identical either
+# way (compositing order within a tile is depth order regardless of tile).
+TILE = int(os.environ.get("VCR_TILE", "16"))
 P = TILE * TILE          # pixels per tile
 G = 256                  # entries per chunk
 ALIGN = 128              # tile-region alignment (binning layout)
@@ -57,6 +64,37 @@ ALPHA_CAP = 0.99
 # DMA pipeline runs on). The CUDA fork terminates per-pixel at T < 1e-4
 # (upstream forward.cu); chunk-max is the conservative TPU-vector analog.
 T_EPS = 1e-4
+# Mosaic's default scoped-vmem guardrail is 16 MB; the (P, G) working set
+# scales with the tile area, and at TILE=32 the backward's temporaries need
+# ~22 MB (measured compile failure) of the chip's 128 MB VMEM. Leave the
+# default alone at TILE=16 (identical compiles round-over-round).
+VMEM_LIMIT = None if TILE <= 16 else 96 * 1024 * 1024
+
+
+def set_tile(tile: int) -> None:
+    """Set the rasterizer tile edge (the `tpu.tile` config knob). Call
+    BEFORE the first trace — kernels read the module globals at trace time,
+    and the entry-builder caches in ops.rasterize are keyed without the
+    tile, so this clears them. The rendered image is identical at any tile
+    (within-tile compositing is depth-ordered regardless); only the
+    entry count E and the pixel-work per entry trade off. Measured on v5e
+    at the DTU protocol shape (1M gaussians, 1600x1200): tile 32 cuts E
+    2.3x and the full train step 1.69x vs tile 16; at the 100k/800x600 dev
+    shape tile 16 wins (small splats barely multi-tile, so 32 only pays
+    4x pixel-work). A VCR_TILE env override (for A/B runs) beats the
+    config: when it is set this call is a no-op."""
+    global TILE, P, VMEM_LIMIT
+    if "VCR_TILE" in os.environ:
+        return
+    if tile not in (8, 16, 32, 64):
+        raise ValueError(f"tpu.tile must be one of 8/16/32/64, got {tile}")
+    if tile == TILE:
+        return
+    TILE = tile
+    P = tile * tile
+    VMEM_LIMIT = None if tile <= 16 else 96 * 1024 * 1024
+    from . import rasterize as _R     # deferred: rasterize imports us
+    _R.clear_tile_caches()
 
 # extra gradient rows appended after the packed feature rows
 GROW_ABS_X = 0           # |d mean2d.x| accumulation (densification stats)
@@ -360,6 +398,7 @@ def rasterize_forward(feats_t: jnp.ndarray, tile_starts: jnp.ndarray,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((num_tiles, P, c_pad), jnp.float32),
         interpret=_interpret(),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT),
     )(tile_starts, tile_counts, cam, feats_t)
 
 
@@ -619,7 +658,8 @@ def rasterize_backward(feats_t, tile_starts, tile_counts, cam, gout_tiles,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((f_pad, e_pad), jnp.float32),
         interpret=_interpret(),
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        compiler_params=pltpu.CompilerParams(has_side_effects=True,
+                                             vmem_limit_bytes=VMEM_LIMIT),
     )(tile_starts, tile_counts, cam, feats_t, gout_tiles, out_tiles)
     return gfeat
 
@@ -735,5 +775,6 @@ def rasterize_stats(feats_t, tile_starts, tile_counts, cam, n_tx, n_ty,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((8, feats_t.shape[1]), jnp.float32),
         interpret=_interpret(),
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        compiler_params=pltpu.CompilerParams(has_side_effects=True,
+                                             vmem_limit_bytes=VMEM_LIMIT),
     )(tile_starts, tile_counts, cam, feats_t)

@@ -478,6 +478,10 @@ class Trainer:
 
     def __init__(self, cfg):
         self.cfg = cfg
+        # rasterizer tile edge: set before ANY trace (see K.set_tile; at the
+        # 1600-wide protocol shapes tile 32 is 1.69x faster end-to-end)
+        from ..ops import rasterize_tpu as _K
+        _K.set_tile(int(cfg.tpu.get("tile", 16)))
         # reference debug hooks (SURVEY.md §5.2): torch anomaly detection ->
         # jax NaN tracing; nsys-style profiling -> the jax.profiler server
         # (point TensorBoard / xprof at it)
