@@ -36,6 +36,9 @@ def main():
     ap.add_argument("--scale_mult", type=float, default=1.0,
                     help="inflate splat scales (4.0 = bench.py dtu_full's "
                          "trained-model tile coverage)")
+    ap.add_argument("--tile", type=int, default=16,
+                    help="rasterizer tile edge (32 = the 1600-wide recipe "
+                         "default; VCR_TILE env overrides)")
     args = ap.parse_args()
 
     import jax
@@ -55,6 +58,8 @@ def main():
     from vcr_gaus_tpu.render.renderer import RenderConfig, render
     from vcr_gaus_tpu.train.trainer import (Gates, NetState,
                                             _make_step_impl)
+
+    K.set_tile(args.tile)
 
     kk, iters = args.k, args.iters
 

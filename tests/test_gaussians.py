@@ -112,10 +112,24 @@ def test_prune_by_importance_percentile():
     st, _, _ = make_state()
     imp = jnp.arange(64, dtype=jnp.float32)     # active slots 0..19
     st2 = GM.prune_by_importance(st, imp, percent=0.5)
-    # bottom half (score <= value at index int(.5*19)=9) pruned -> 10 left
-    assert int(st2.num_active) == 10
+    # positional k-lowest: k = int(.5*19) = 9 pruned -> 11 left
+    assert int(st2.num_active) == 11
     assert not bool(st2.active[0])
     assert bool(st2.active[19])
+
+
+def test_prune_by_importance_all_tied_scores():
+    """Degenerate all-equal importance (e.g. a dead population) must still
+    prune only ~percent, never everything: the reference drops the k lowest
+    INDICES (tools/prune.py), and a threshold comparison would wipe 100% on
+    ties — the on-chip schedule rehearsal hit exactly that as an empty
+    model at save time."""
+    st, _, _ = make_state()
+    imp = jnp.zeros((64,), jnp.float32)
+    st2 = GM.prune_by_importance(st, imp, percent=0.5)
+    assert int(st2.num_active) == 11            # 20 active - k(9)
+    # and ties break by slot index: the lowest slots go first
+    assert not bool(st2.active[0]) and bool(st2.active[19])
 
 
 def test_add_densification_stats():

@@ -127,3 +127,26 @@ def test_gaussian_ply_header_is_reference_golden(tmp_path):
                   + [f"rot_{i}" for i in range(4)]
                   + [f"obj_dc_{i}" for i in range(ch_sem)])
         assert props == golden, (props, golden)
+
+
+def test_save_empty_model_roundtrips(tmp_path):
+    """A zero-active model must serialize (reshape(n, -1) cannot infer the
+    flat width at n == 0): after a degenerate prune the trainer still saves
+    and the file reads back with 0 vertices instead of crashing mid-run."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from vcr_gaus_tpu.models import gaussians as GM
+    from vcr_gaus_tpu.models.ply_io import save_gaussian_ply, save_inside_ply
+    from vcr_gaus_tpu.utils.ply import read_ply
+
+    rng = np.random.default_rng(0)
+    st = GM.create_from_pcd(rng.random((20, 3), np.float32),
+                            rng.random((20, 3), np.float32), 64, 3)
+    st = st._replace(active=jnp.zeros((64,), bool))
+    p1 = str(tmp_path / "empty.ply")
+    p2 = str(tmp_path / "empty_inside.ply")
+    save_gaussian_ply(st, p1)
+    save_inside_ply(st, p2, np.ones(64, bool))
+    assert len(read_ply(p1)["x"]) == 0
+    assert len(read_ply(p2)["x"]) == 0

@@ -13,6 +13,7 @@ import pytest
 from vcr_gaus_tpu.ops import binning as B
 from vcr_gaus_tpu.ops import projection as PF
 from vcr_gaus_tpu.ops import rasterize as R
+from vcr_gaus_tpu.ops import rasterize_tpu as K
 from vcr_gaus_tpu.ops import rasterize_ref as REF
 
 W, H = 40, 24          # non-multiples of TILE on purpose
@@ -402,7 +403,6 @@ def test_early_termination_matches_oracle():
     assert not bool(binn.overflow)
     # at opacity .95 transmittance hits 1e-4 after ~4 entries: the dense
     # tiles must NOT composite all their chunks
-    from vcr_gaus_tpu.ops import rasterize_tpu as K
     assert int(jnp.max(binn.tile_counts)) > K.G   # multi-chunk tile exists
 
     order = REF.depth_order(depth_z, radius)
@@ -491,8 +491,6 @@ def test_tile_32_matches_tile_16():
     edge; only the entry expansion E changes. Guards the cache invalidation
     too: a stale tile-16 entry builder served after set_tile(32) would
     produce garbage tile offsets."""
-    from vcr_gaus_tpu.ops import rasterize_tpu as K
-
     feats, radius, cam = make_scene(n=50, seed=7)
     depth_z = feats[:, PF.F_DEPTH_Z]
     mean2d = feats[:, [PF.F_MEAN_X, PF.F_MEAN_Y]]

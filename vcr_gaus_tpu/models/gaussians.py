@@ -370,13 +370,21 @@ def densify_and_prune(state: GaussianState, grad_threshold, min_opacity,
 def prune_by_importance(state: GaussianState, imp_score, percent: float):
     """LightGaussian percentile prune (gaussian_model.py:661-667 +
     tools/prune.py:6-22 scoring applied by the caller): drop the lowest
-    ``percent`` of active gaussians by score."""
+    ``percent`` of active gaussians by score.
+
+    POSITIONAL, like the reference's index-of-k-lowest (torch.argsort +
+    slice): exactly k = percent*(n_act-1) gaussians go, stable-tie-broken
+    by slot index. A threshold comparison (score <= kth value) looks
+    equivalent but kills the ENTIRE population when scores tie at the
+    threshold — with degenerate all-equal importance it prunes 100%, which
+    the on-chip schedule rehearsal caught as an empty model at save time."""
     score = jnp.where(state.active, imp_score, jnp.inf)
     n_act = jnp.sum(state.active.astype(jnp.int32))
     k = (percent * (n_act.astype(jnp.float32) - 1.0)).astype(jnp.int32)
-    sorted_score = jnp.sort(score)
-    thr = sorted_score[jnp.clip(k, 0, state.capacity - 1)]
-    return prune(state, imp_score <= thr)
+    iota = jnp.arange(state.capacity, dtype=jnp.int32)
+    _, order = jax.lax.sort((score, iota), num_keys=1)
+    rank = jnp.zeros((state.capacity,), jnp.int32).at[order].set(iota)
+    return prune(state, rank < k)
 
 
 def v_imp_score(state: GaussianState, imp_list, v_pow: float):

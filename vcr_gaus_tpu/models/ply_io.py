@@ -17,6 +17,12 @@ import os
 import jax.numpy as jnp
 import numpy as np
 
+
+def _flat(a) -> int:
+    """Product of the trailing dims — an explicit reshape width so a
+    zero-row array still reshapes (np can't infer -1 from 0 elements)."""
+    return int(np.prod(a.shape[1:]))
+
 from ..utils.ply import read_ply, write_ply
 from . import gaussians as GM
 
@@ -30,8 +36,10 @@ def _compact(state: GM.GaussianState) -> dict[str, np.ndarray]:
 def save_gaussian_ply(state: GM.GaussianState, path: str) -> None:
     d = _compact(state)
     n = d["xyz"].shape[0]
-    f_dc = d["f_dc"].transpose(0, 2, 1).reshape(n, -1)       # channel-major
-    f_rest = d["f_rest"].transpose(0, 2, 1).reshape(n, -1)
+    # explicit flat dims: reshape(n, -1) cannot infer when n == 0 (an empty
+    # model must still serialize — e.g. after a degenerate prune)
+    f_dc = d["f_dc"].transpose(0, 2, 1).reshape(n, _flat(d["f_dc"]))
+    f_rest = d["f_rest"].transpose(0, 2, 1).reshape(n, _flat(d["f_rest"]))
     props: dict[str, np.ndarray] = {}
     for i, k in enumerate("xyz"):
         props[k] = d["xyz"][:, i].astype(np.float32)
@@ -48,7 +56,7 @@ def save_gaussian_ply(state: GM.GaussianState, path: str) -> None:
         props[f"rot_{i}"] = d["quat"][:, i].astype(np.float32)
     ch_sem = d["obj_dc"].shape[2]
     if ch_sem:
-        obj = d["obj_dc"].transpose(0, 2, 1).reshape(n, -1)
+        obj = d["obj_dc"].transpose(0, 2, 1).reshape(n, _flat(d["obj_dc"]))
         for i in range(obj.shape[1]):
             props[f"obj_dc_{i}"] = obj[:, i].astype(np.float32)
     write_ply(path, props)
@@ -113,8 +121,8 @@ def save_inside_ply(state: GM.GaussianState, path: str,
     normals = np.asarray(sub.shortest_axis_normal())[
         np.asarray(sub.active)]
     n = d["xyz"].shape[0]
-    f_dc = d["f_dc"].transpose(0, 2, 1).reshape(n, -1)
-    f_rest = d["f_rest"].transpose(0, 2, 1).reshape(n, -1)
+    f_dc = d["f_dc"].transpose(0, 2, 1).reshape(n, _flat(d["f_dc"]))
+    f_rest = d["f_rest"].transpose(0, 2, 1).reshape(n, _flat(d["f_rest"]))
     props: dict[str, np.ndarray] = {}
     for i, k in enumerate("xyz"):
         props[k] = d["xyz"][:, i].astype(np.float32)

@@ -1002,6 +1002,13 @@ class Trainer:
                            time=time.time() - t0)
                 self.history.append(rec)
                 self._log_scalars(rec)
+                # stdout progress (the reference's tqdm postfix,
+                # trainer.py:151): loss + live population
+                print(f"[{rec['iter']}/{max_iters}] "
+                      f"loss={rec.get('total', float('nan')):.4f} "
+                      f"n_active={rec['n_active']}"
+                      + (" OVERFLOW" if rec.get("overflow") else ""),
+                      flush=True)
             # the final configured iteration is an implicit member of every
             # trigger list (reference `or current_iteration == max_iters`,
             # trainer.py:508,425,428)
