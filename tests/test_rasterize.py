@@ -484,6 +484,22 @@ def test_segment_sum_grouped_matches_scatter():
         jnp.asarray(cnts), jnp.asarray(total), budget))
     np.testing.assert_allclose(got, expect, atol=1e-5)
 
+    # columns the kept prefix never references are the backward kernel's
+    # UNWRITTEN slack — uninitialized memory that can be NaN. One NaN lane
+    # in the cumsum block containing position `kept` poisons the boundary
+    # most gaussians clamp to (NaN*0 == NaN through the triangular matmul);
+    # the value mask must make the result identical and finite.
+    referenced = set(int(p) for p in perm[:kept])
+    g_nan = g_entries.copy()
+    for j in range(e_al):
+        if j not in referenced:
+            g_nan[:, j] = np.nan
+    got_nan = np.asarray(R._segment_sum_grouped(
+        jnp.asarray(g_nan), jnp.asarray(perm), jnp.asarray(offs),
+        jnp.asarray(cnts), jnp.asarray(total), budget))
+    assert np.isfinite(got_nan).all()
+    np.testing.assert_allclose(got_nan, expect, atol=1e-5)
+
 
 def test_tile_32_matches_tile_16():
     """The tpu.tile knob (K.set_tile) must not change the rendered image or

@@ -111,12 +111,24 @@ def _segment_sum_grouped(g_entries_t, perm, offs, cnts, total,
     slab-gathered boundary row differenced adjacently (offsets are an exact
     exclusive cumsum, so segment ends ARE the next segment's start —
     hi[g] == lo[g+1] — and a single (C, N+1) boundary fetch replaces the
-    round-2 lo/hi pair)."""
+    round-2 lo/hi pair).
+
+    Grouped columns at positions >= kept are pad slots whose perm entries
+    point into the kernel's UNWRITTEN output slack (the backward only
+    writes tile regions; the slack block is uninitialized memory — NaN by
+    design in interpret mode, whatever HBM held on chip). They are hard
+    zeroed before the cumsum: the blockwise triangular matmul multiplies
+    every lane pair, and NaN*0 == NaN, so one wild lane in the block
+    containing position `kept` would poison the boundary most gaussians
+    clamp to — the failure mode that froze the on-chip schedule rehearsal
+    (all params NaN at iteration ~148)."""
     c = g_entries_t.shape[0]
+    kept = jnp.minimum(total, entry_budget)
     grouped = B.slab_lane_gather(g_entries_t, perm)
+    pos = jnp.arange(grouped.shape[1], dtype=jnp.int32)[None, :]
+    grouped = jnp.where(pos < kept, grouped, 0.0)
     csum = B.cumsum_lanes(grouped)
     csum = jnp.concatenate([jnp.zeros((c, 1), csum.dtype), csum], 1)
-    kept = jnp.minimum(total, entry_budget)
     bounds = jnp.minimum(
         jnp.concatenate([offs, (offs[-1] + cnts[-1])[None]]), kept)
     s = B.slab_lane_gather(B.pad_lanes_for_slabs(csum), bounds)
