@@ -81,8 +81,15 @@ def _knn_exact(points: jnp.ndarray, k: int, block: int = 1024):
     def one_block(b):
         idx = b * block + jnp.arange(block)
         p = pts_pad[idx]
-        # d2 via the MXU: |p|^2 + |q|^2 - 2 p.q
-        dots = p @ jnp.where(jnp.isfinite(pts_pad), pts_pad, 0.0).T
+        # d2 via the MXU: |p|^2 + |q|^2 - 2 p.q. HIGHEST precision is
+        # required on chip: the default matmul truncates inputs to bf16
+        # (~0.4%), and for NEAR neighbors |p|^2+|q|^2-2p.q cancels to
+        # nearly zero — exactly the distances the 3NN init and the radius
+        # outlier filter care about.
+        dots = jax.lax.dot_general(
+            p, jnp.where(jnp.isfinite(pts_pad), pts_pad, 0.0),
+            (((1,), (1,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST)
         d2 = sq[idx][:, None] + sq[None, :] - 2.0 * dots
         self_or_pad = (idx[:, None] == jnp.arange(n_pad)[None, :]) | (
             jnp.arange(n_pad)[None, :] >= n) | (idx[:, None] >= n)

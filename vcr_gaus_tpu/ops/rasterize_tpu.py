@@ -163,13 +163,26 @@ def _lower_tri_incl():
 
 
 def _cumsum_incl_lanes(x, ut):
-    """(P, G) inclusive prefix sum along lanes, blockwise on the MXU."""
+    """(P, G) inclusive prefix sum along lanes, blockwise on the MXU.
+
+    HIGHEST precision is load-bearing, not a nicety: the MXU's default
+    matmul truncates INPUTS to bf16 (8 mantissa bits, ~0.4% relative).
+    These sums carry log-transmittance terms whose forward/backward
+    reconstruction cancels two large partial sums — exp(logT_final -
+    suffix - carry) — so a 0.4% error on a few-hundred-magnitude log sum
+    walks into the exponent and blows gradients up by e^(several) at
+    saturated pixels. On chip (interpret mode computes exact f32 and never
+    sees it) that systematically corrupted training and eventually drove
+    params non-finite (the 400x300 schedule-rehearsal freeze at ~iter
+    1100). The 0/1 triangular operand is bf16-exact, so HIGHEST costs
+    only the x-operand split passes."""
     parts = []
     carry = None
     for b in range(G // BLK):
         xb = x[:, b * BLK:(b + 1) * BLK]
         cb = jax.lax.dot_general(xb, ut, (((1,), (0,)), ((), ())),
-                                 preferred_element_type=jnp.float32)
+                                 preferred_element_type=jnp.float32,
+                                 precision=jax.lax.Precision.HIGHEST)
         if carry is not None:
             cb = cb + carry
         parts.append(cb)
@@ -185,7 +198,8 @@ def _suffix_incl_lanes(x, lt):
     for b in reversed(range(nb)):
         xb = x[:, b * BLK:(b + 1) * BLK]
         sb = jax.lax.dot_general(xb, lt, (((1,), (0,)), ((), ())),
-                                 preferred_element_type=jnp.float32)
+                                 preferred_element_type=jnp.float32,
+                                 precision=jax.lax.Precision.HIGHEST)
         if carry is not None:
             sb = sb + carry
         parts[b] = sb
@@ -332,7 +346,8 @@ def _fwd_kernel(starts_ref, counts_ref, cam_ref, feats_ref, out_ref, buf,
             fsub = f[PF.F_NORMAL:PF.F_NORMAL + c_acc, :]  # (c_acc, G)
             dacc = jax.lax.dot_general(
                 w, fsub, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)    # (P, c_acc)
+                preferred_element_type=jnp.float32,
+                                 precision=jax.lax.Precision.HIGHEST)    # (P, c_acc)
 
             d, _ = _depth_chunk(f, px, py, cam, depth_mode)
             wd = w * d
@@ -524,7 +539,8 @@ def _bwd_kernel(starts_ref, counts_ref, cam_ref, feats_ref, gout_ref,
             d, dex = _depth_chunk(f, px, py, cam, depth_mode)
             fsub = f[PF.F_NORMAL:PF.F_NORMAL + c_acc, :]
             s = jax.lax.dot_general(g_acc, fsub, (((1,), (0,)), ((), ())),
-                                    preferred_element_type=jnp.float32)
+                                    preferred_element_type=jnp.float32,
+                                 precision=jax.lax.Precision.HIGHEST)
             s = s + d * (g_d + d * g_d2)
 
             u = w * s
@@ -555,7 +571,8 @@ def _bwd_kernel(starts_ref, counts_ref, cam_ref, feats_ref, gout_ref,
             # feature grads (c_acc, G): sum_p w * g_acc
             gfeat_acc = jax.lax.dot_general(
                 g_acc, w, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)    # (c_acc, G)
+                preferred_element_type=jnp.float32,
+                                 precision=jax.lax.Precision.HIGHEST)    # (c_acc, G)
 
             # depth grads
             gd_pg = w * (g_d + 2.0 * d * g_d2)         # (P,G)

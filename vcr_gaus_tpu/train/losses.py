@@ -81,10 +81,17 @@ def ssim(img1, img2, window_size: int = 11):
 
     def blur(x):
         # (C,H,W) x (H,H) -> (C,W,H'); then (C,W,H') x (W,W) -> (C,H',W')
+        # HIGHEST: the TPU default truncates matmul INPUTS to bf16 (~0.4%),
+        # and the variances below are catastrophic cancellations
+        # (E[x^2] - E[x]^2 ~ 1e-3 for O(1) images) — at default precision
+        # the on-chip SSIM was off by ~0.19 absolute vs the exact value
+        # (measured 0.827 vs 0.641 on a live training frame).
         y = jax.lax.dot_general(x, By, (((1,), (0,)), ((), ())),
-                                preferred_element_type=jnp.float32)
+                                preferred_element_type=jnp.float32,
+                                precision=jax.lax.Precision.HIGHEST)
         return jax.lax.dot_general(y, Bx, (((1,), (0,)), ((), ())),
-                                   preferred_element_type=jnp.float32)
+                                   preferred_element_type=jnp.float32,
+                                   precision=jax.lax.Precision.HIGHEST)
 
     mu1, mu2 = blur(img1), blur(img2)
     mu1_sq, mu2_sq, mu1_mu2 = mu1 * mu1, mu2 * mu2, mu1 * mu2
