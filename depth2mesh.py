@@ -45,6 +45,11 @@ def main():
                     help="fuse alpha-normalized expected depth (default); "
                          "--no-normalize_depth fuses the raw alpha-weighted "
                          "render like the reference (tools/depth2mesh.py:45-48)")
+    ap.add_argument("--mask_cut", action="store_true",
+                    help="zero depth where the camera's stored foreground "
+                         "mask is background before fusing (the "
+                         "reference's gt_alpha_mask<0.5 cut, "
+                         "tools/depth2mesh.py:46-47); bounded mode only")
     ap.add_argument("--unbounded", action="store_true",
                     help="mip-360 contraction meshing for unbounded scenes "
                          "(reference tools/mesh_utils.py:168-276) instead "
@@ -153,7 +158,7 @@ def main():
             voxel_size=voxel, alpha_thr=args.prob_thr, stride=args.split,
             max_depth=args.max_depth, n_clusters=args.num_cluster,
             sh_degree=cfg.model.sh_degree, scene_extent=info.radius,
-            normalize_depth=args.normalize_depth,
+            normalize_depth=args.normalize_depth, mask_cut=args.mask_cut,
             progress=lambda i: print(f"  fused view {i}", end="\r"))
     out = os.path.join(logdir, f"{args.mesh_name}.ply")
     save_mesh_ply(out, verts, faces)

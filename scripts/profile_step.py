@@ -29,6 +29,9 @@ def main():
     ap.add_argument("--w", type=int, default=800)
     ap.add_argument("--h", type=int, default=600)
     ap.add_argument("--budget", type=int, default=7 << 16)
+    ap.add_argument("--cap", type=int, default=0,
+                    help="model capacity (0 = next pow2 >= 1.3n; pass "
+                         "1048576 to match bench.py --preset dtu_full)")
     ap.add_argument("--k", type=int, default=8, help="scan length")
     ap.add_argument("--iters", type=int, default=4)
     ap.add_argument("--only", type=str, default=None,
@@ -103,7 +106,7 @@ def main():
     pts = (np.stack([r * np.cos(theta), r * np.sin(theta), z], 1) * 1.5
            + np.array([0, 0, 4.0])).astype(np.float32)
     cols = rng.uniform(0, 1, (n, 3)).astype(np.float32)
-    cap = 1 << int(np.ceil(np.log2(n * 1.3)))
+    cap = args.cap or 1 << int(np.ceil(np.log2(n * 1.3)))
     state = GM.create_from_pcd(pts, cols, cap, sh_degree=3)
     if args.scale_mult != 1.0:
         state = state._replace(params=state.params._replace(

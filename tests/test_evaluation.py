@@ -183,18 +183,49 @@ def test_lpips_jax_with_synthetic_weights(tmp_path):
     assert "LPIPS" in results and results["LPIPS"] > 1e-4
 
 
-@pytest.mark.skipif(not os.environ.get("LPIPS_WEIGHTS"),
-                    reason="real LPIPS weights not provided")
-def test_lpips_real_weights_sanity():
-    """When real converted weights are supplied ($LPIPS_WEIGHTS), the score
-    of a noisy pair lands in the published LPIPS(vgg) ballpark."""
-    from vcr_gaus_tpu.evaluation.lpips_jax import LPIPS
-    lp = LPIPS.from_env()
+def test_lpips_full_width_weights_sanity(tmp_path, monkeypatch):
+    """The full-width LPIPS net (real vgg16 channel sizes) runs end-to-end:
+    with $LPIPS_WEIGHTS set to real converted weights, the noisy-pair score
+    lands in the published LPIPS(vgg) ballpark; otherwise the deterministic
+    placeholder generator stands in (LPIPS_WEIGHTS=placeholder), keeping
+    the whole column's plumbing — generation, load, jit, evaluate_dir flag
+    — exercised in CI instead of perpetually skipped."""
+    from vcr_gaus_tpu.evaluation import lpips_jax as L
+    real = os.environ.get("LPIPS_WEIGHTS")
+    if not real:
+        monkeypatch.setenv("LPIPS_WEIGHTS", "placeholder")
+        monkeypatch.setattr(
+            L, "placeholder_path",
+            lambda: str(tmp_path / "lpips_placeholder.npz"))
+    lp = L.LPIPS.from_env()
     assert lp is not None
+    assert lp.is_placeholder == (not real)
     rng = np.random.default_rng(0)
-    img = rng.uniform(0, 1, (3, 128, 128)).astype(np.float32)
+    img = rng.uniform(0, 1, (3, 64, 64)).astype(np.float32)
     assert abs(lp(img, img)) < 1e-6
     noisy = np.clip(img + rng.normal(0, 0.1, img.shape), 0, 1).astype(
         np.float32)
     d = lp(img, noisy)
-    assert 0.005 < d < 1.0, d
+    if real:
+        assert 0.005 < d < 1.0, d
+    else:
+        assert d > 1e-6               # positivity is all random weights owe
+        # determinism: regenerating under the same seed scores identically
+        p2 = L.write_placeholder_weights(str(tmp_path / "again.npz"))
+        lp2 = L.LPIPS(p2)
+        assert lp2.is_placeholder
+        np.testing.assert_allclose(lp2(img, noisy), d, rtol=1e-6)
+
+    # evaluate_dir flags placeholder-backed LPIPS columns
+    from PIL import Image
+    from vcr_gaus_tpu.evaluation import nvs
+    out_dir = tmp_path / "sweep"
+    for sub in ("renders", "gt"):
+        os.makedirs(out_dir / sub)
+    Image.fromarray((img.transpose(1, 2, 0) * 255).astype(np.uint8)).save(
+        out_dir / "renders" / "00000.png")
+    Image.fromarray((noisy.transpose(1, 2, 0) * 255).astype(np.uint8)).save(
+        out_dir / "gt" / "00000.png")
+    results = nvs.evaluate_dir(str(out_dir))
+    assert "LPIPS" in results
+    assert results.get("LPIPS_placeholder", False) == (not real)

@@ -27,6 +27,12 @@ import numpy as np
 
 # conv layer indices of torchvision vgg16.features, grouped by stage
 _STAGES = [(0, 2), (5, 7), (10, 12, 14), (17, 19, 21), (24, 26, 28)]
+# (out_ch, in_ch) of every conv layer, keyed by torchvision features index
+_CONV_CH = {0: (64, 3), 2: (64, 64), 5: (128, 64), 7: (128, 128),
+            10: (256, 128), 12: (256, 256), 14: (256, 256),
+            17: (512, 256), 19: (512, 512), 21: (512, 512),
+            24: (512, 512), 26: (512, 512), 28: (512, 512)}
+_STAGE_CH = [64, 128, 256, 512, 512]
 # LPIPS input scaling layer (modules/networks.py ScalingLayer)
 _SHIFT = np.array([-0.030, -0.088, -0.188], np.float32)
 _SCALE = np.array([0.458, 0.448, 0.450], np.float32)
@@ -70,6 +76,41 @@ def load_weights(vgg_path: str, lin_path: str | None = None):
     return stages, lins
 
 
+PLACEHOLDER_KEY = "__placeholder__"
+
+
+def write_placeholder_weights(path: str, seed: int = 0) -> str:
+    """Write a DETERMINISTIC random-init combined weights file in the
+    scripts/convert_lpips.py .npz format, tagged with ``__placeholder__``.
+
+    This is NOT the pretrained LPIPS metric — scores from it are
+    meaningless as perceptual distances. It exists so the full NVS metrics
+    plumbing (evaluation/metrics.py:77-85 parity: the LPIPS column,
+    results.json layout, jit path) runs end-to-end inside the zero-egress
+    image; `evaluate_dir` flags results computed with it. He-init convs +
+    positive lin heads keep the architecture invariants (d(x,x)=0,
+    symmetry, positivity) exercised at the real net's widths."""
+    rng = np.random.default_rng(seed)
+    out: dict[str, np.ndarray] = {PLACEHOLDER_KEY: np.asarray(1)}
+    for i, (co, ci) in _CONV_CH.items():
+        std = float(np.sqrt(2.0 / (ci * 9)))
+        out[f"features.{i}.weight"] = rng.normal(
+            scale=std, size=(co, ci, 3, 3)).astype(np.float32)
+        out[f"features.{i}.bias"] = np.zeros(co, np.float32)
+    for i, c in enumerate(_STAGE_CH):
+        out[f"lin{i}.model.1.weight"] = np.abs(
+            rng.normal(scale=0.1, size=(1, c, 1, 1))).astype(np.float32)
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    np.savez(path, **out)
+    return path
+
+
+def placeholder_path() -> str:
+    """Cache location for the auto-generated placeholder file."""
+    return os.path.join(os.path.expanduser("~"), ".cache", "vcr_gaus_tpu",
+                        "lpips_placeholder.npz")
+
+
 def _conv(x, w, b):
     y = jax.lax.conv_general_dilated(
         x[None], jnp.asarray(w), (1, 1), "SAME",
@@ -106,6 +147,9 @@ class LPIPS:
 
     def __init__(self, vgg_path: str, lin_path: str | None = None):
         self.stages, self.lins = load_weights(vgg_path, lin_path)
+        self.is_placeholder = bool(
+            vgg_path.endswith(".npz")
+            and PLACEHOLDER_KEY in np.load(vgg_path))
         self._fn = jax.jit(lambda a, b: lpips_pair(a, b, self.stages,
                                                    self.lins))
 
@@ -125,8 +169,16 @@ class LPIPS:
     @staticmethod
     def from_env():
         """$LPIPS_WEIGHTS (combined npz from scripts/convert_lpips.py),
-        falling back to the $LPIPS_VGG_PATH + $LPIPS_LIN_PATH pair."""
+        falling back to the $LPIPS_VGG_PATH + $LPIPS_LIN_PATH pair.
+        The literal value ``placeholder`` auto-generates the deterministic
+        random-init file (see write_placeholder_weights) — full plumbing,
+        flagged non-pretrained scores."""
         combined = os.environ.get("LPIPS_WEIGHTS")
+        if combined == "placeholder":
+            p = placeholder_path()
+            if not os.path.exists(p):
+                write_placeholder_weights(p)
+            return LPIPS(p)
         if combined:
             return LPIPS.maybe(combined)
         return LPIPS.maybe(os.environ.get("LPIPS_VGG_PATH"),

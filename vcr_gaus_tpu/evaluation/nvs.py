@@ -62,8 +62,10 @@ def render_sets(state, cameras, rcfg, bg, out_dir: str, sh_degree: int = 3,
         return jnp.round(jnp.moveaxis(rgb, 0, -1) * 255).astype(jnp.uint8)
 
     def to_u8(x):
+        # round (not floor) so gt/ and renders/ share the same quantizer
+        # (torchvision save_image rounds both in the reference).
         return (np.clip(np.asarray(x), 0, 1).transpose(1, 2, 0)
-                * 255).astype(np.uint8)
+                * 255 + 0.5).astype(np.uint8)
 
     for i, cam in enumerate(cameras):
         arr = cam.arrays() if hasattr(cam, "arrays") else cam
@@ -101,6 +103,9 @@ def evaluate_dir(out_dir: str) -> dict:
     if lp is not None:
         results["LPIPS"] = float(np.mean([v["lpips"]
                                           for v in per_view.values()]))
+        if getattr(lp, "is_placeholder", False):
+            # random-init weights: the column exercises the plumbing only
+            results["LPIPS_placeholder"] = True
     with open(os.path.join(out_dir, "results.json"), "w") as f:
         json.dump(results, f, indent=2)
     with open(os.path.join(out_dir, "per_view.json"), "w") as f:

@@ -34,6 +34,7 @@ def extract_mesh_from_state(
     bg_color=None,
     progress=None,
     normalize_depth: bool = True,
+    mask_cut: bool = False,
 ):
     """Fuse depth renders from every ``stride``-th camera and extract the
     isosurface. Returns (verts (V,3), faces (F,3)).
@@ -41,6 +42,12 @@ def extract_mesh_from_state(
     Depth masking per view (tools/depth2mesh.py:45-58): alpha < thr -> 0,
     backprojected point outside the meta box -> 0, semantic background -> 0,
     beyond max_depth -> 0.
+
+    ``mask_cut=True`` additionally zeroes depth where the camera's stored
+    foreground mask is background (the reference's per-view
+    ``gt_alpha_mask < 0.5`` cut, tools/depth2mesh.py:46-47 — e.g. DTU
+    object masks). Only the mask component is decoded per camera; image
+    pixels stay unread. Cameras without a mask contribute unmasked.
 
     ``normalize_depth=True`` integrates the alpha-normalized EXPECTED depth
     (depth/alpha); the reference integrates the raw alpha-weighted render
@@ -56,13 +63,15 @@ def extract_mesh_from_state(
     scalej = jnp.asarray(np.asarray(scale, np.float32))
     bgc = jnp.asarray(bg_color) if bg_color is not None else jnp.zeros(3)
 
-    def fuse_view(state, grid, arr):
+    def fuse_view(state, grid, arr, fg=None):
         out = render(state, arr, rcfg, bgc, sh_degree,
                      scene_extent=scene_extent, classifier=sem_classifier)
         alpha = out["alpha"]
         depth = (out["depth"] / jnp.maximum(alpha, 1e-6)
                  if normalize_depth else out["depth"])
         depth = jnp.where(alpha > alpha_thr, depth, 0.0)
+        if fg is not None:
+            depth = jnp.where(fg, depth, 0.0)
         if max_depth is not None:
             depth = jnp.where(depth < max_depth, depth, 0.0)
         # backproject and zero points outside the box
@@ -83,7 +92,17 @@ def extract_mesh_from_state(
     fuse_jit = jax.jit(fuse_view)
     for idx, cam in enumerate(cameras[::stride]):
         arr = cam.arrays(pixels=False) if isinstance(cam, Camera) else cam
-        grid = fuse_jit(state, grid, jax.tree.map(jnp.asarray, arr))
+        fg = None
+        if mask_cut:
+            m = (cam._component("mask") if isinstance(cam, Camera)
+                 else getattr(cam, "mask", None))
+            if m is not None and np.asarray(m).shape == (rcfg.height,
+                                                         rcfg.width):
+                fg = jnp.asarray(np.asarray(m) > 0)
+        if fg is not None:
+            grid = fuse_jit(state, grid, jax.tree.map(jnp.asarray, arr), fg)
+        else:
+            grid = fuse_jit(state, grid, jax.tree.map(jnp.asarray, arr))
         if progress is not None:
             progress(idx)
 

@@ -372,12 +372,14 @@ def prune_by_importance(state: GaussianState, imp_score, percent: float):
     tools/prune.py:6-22 scoring applied by the caller): drop the lowest
     ``percent`` of active gaussians by score.
 
-    POSITIONAL, like the reference's index-of-k-lowest (torch.argsort +
-    slice): exactly k = percent*(n_act-1) gaussians go, stable-tie-broken
-    by slot index. A threshold comparison (score <= kth value) looks
-    equivalent but kills the ENTIRE population when scores tie at the
-    threshold — with degenerate all-equal importance it prunes 100%, which
-    the on-chip schedule rehearsal caught as an empty model at save time."""
+    POSITIONAL — a deliberate divergence from the reference's threshold
+    prune (gaussian_model.py:661-667 compares import_score <= the
+    percentile VALUE): exactly k = percent*(n_act-1) gaussians go,
+    stable-tie-broken by slot index, so on tied scores this prunes FEWER
+    than the reference. The threshold form kills the ENTIRE population
+    when scores tie at the threshold — with degenerate all-equal
+    importance it prunes 100%, which the on-chip schedule rehearsal
+    caught as an empty model at save time."""
     score = jnp.where(state.active, imp_score, jnp.inf)
     n_act = jnp.sum(state.active.astype(jnp.int32))
     k = (percent * (n_act.astype(jnp.float32) - 1.0)).astype(jnp.int32)

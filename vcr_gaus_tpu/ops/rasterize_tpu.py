@@ -54,6 +54,9 @@ from . import projection as PF
 # A/B runs don't need a code edit; the trained output is identical either
 # way (compositing order within a tile is depth order regardless of tile).
 TILE = int(os.environ.get("VCR_TILE", "16"))
+if TILE not in (8, 16, 32, 64):          # same set set_tile() accepts; a
+    raise ValueError(                     # typo'd VCR_TILE would otherwise
+        f"VCR_TILE={TILE} invalid; must be one of 8/16/32/64")
 P = TILE * TILE          # pixels per tile
 G = 256                  # entries per chunk
 ALIGN = 128              # tile-region alignment (binning layout)
