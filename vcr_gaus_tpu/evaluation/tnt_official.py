@@ -2,8 +2,11 @@
 
 Mirrors evaluation/tnt_eval/ (run.py + registration.py + evaluation.py):
   1. read the estimated COLMAP trajectory (.log) and the GT trajectory,
-  2. rough alignment: Umeyama (similarity) on matched camera centers,
-     composed with the dataset's {scene}_trans.txt,
+  2. rough alignment: RANSAC over index-matched camera centers (minimal
+     Umeyama hypotheses + inlier refit — upstream uses open3d
+     registration_ransac_based_on_correspondence with [[i,i]] pairs and
+     max_corr 0.2, registration.py:66+), composed with the dataset's
+     {scene}_trans.txt,
   3. crop both clouds to the scene's SelectionPolygonVolume json,
   4. refine with multi-stage ICP at decreasing correspondence radii
      (run.py:106-110's 3-stage refinement),
@@ -63,6 +66,40 @@ def umeyama(src: np.ndarray, dst: np.ndarray, with_scale: bool = True):
     return T
 
 
+def ransac_umeyama(src: np.ndarray, dst: np.ndarray, thresh: float = 0.2,
+                   iters: int = 2000, seed: int = 0) -> np.ndarray:
+    """RANSAC-robust similarity alignment over index-matched correspondences.
+
+    The upstream toolbox (tnt_eval/registration.py:66+) registers camera
+    centers with open3d's registration_ransac_based_on_correspondence using
+    the identity correspondence list [[i, i]] and max_correspondence_distance
+    0.2 — i.e. the correspondences are trusted pairwise but individual
+    cameras may be gross outliers (failed SfM registrations). Plain Umeyama
+    over all pairs has no such robustness; this wraps it: minimal 3-point
+    hypotheses, inlier count at ``thresh``, final Umeyama refit on the best
+    inlier set. Deterministic for a given seed.
+    """
+    n = len(src)
+    if n < 4:
+        return umeyama(src, dst)
+    rng = np.random.default_rng(seed)
+    best_inl, best_count = None, -1
+    for _ in range(iters):
+        idx = rng.choice(n, 3, replace=False)
+        try:
+            T = umeyama(src[idx], dst[idx])
+        except np.linalg.LinAlgError:  # degenerate minimal set
+            continue
+        res = np.linalg.norm(src @ T[:3, :3].T + T[:3, 3] - dst, axis=1)
+        inl = res < thresh
+        c = int(inl.sum())
+        if c > best_count:
+            best_count, best_inl = c, inl
+    if best_count < 3:
+        return umeyama(src, dst)
+    return umeyama(src[best_inl], dst[best_inl])
+
+
 def crop_polygon_volume(points: np.ndarray, crop: dict) -> np.ndarray:
     """Keep-mask for an open3d SelectionPolygonVolume json: a polygon in the
     plane orthogonal to ``orthogonal_axis`` plus [axis_min, axis_max]."""
@@ -94,6 +131,7 @@ def evaluate_tnt_scene(
     crop_json: str | None = None,
     icp_stages: int = 3,
     seed: int = 0,
+    ransac_thresh: float = 0.2,
 ) -> dict:
     """Full protocol; alignment inputs are optional (skipped when absent,
     e.g. for reconstructions already in GT coordinates)."""
@@ -111,7 +149,8 @@ def evaluate_tnt_scene(
         # apply the dataset pre-alignment to est centers first
         hom = np.concatenate([centers_est, np.ones((n, 1))], 1)
         centers_est = (hom @ T.T)[:, :3]
-        T = umeyama(centers_est, gt[:n, :3, 3]) @ T
+        T = ransac_umeyama(centers_est, gt[:n, :3, 3],
+                           thresh=ransac_thresh, seed=seed) @ T
 
     hom = np.concatenate([verts, np.ones((len(verts), 1))], 1)
     pred = (hom @ T.T)[:, :3]
