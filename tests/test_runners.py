@@ -99,6 +99,46 @@ def test_run_tnt_pipeline_with_voxel_ladder(tmp_path):
     _check_finish_case(tmp_path, data_root)
 
 
+@pytest.mark.xdist_group("subprocess")
+def test_run_scannetpp_in_process_scene_dp(tmp_path):
+    """The multi-scene stretch config end-to-end (VERDICT r3 #7): two tiny
+    scenes train CONCURRENTLY inside ONE process, each pinned to its own
+    device of a virtual 8-CPU mesh via dp.scene_dispatch (the TPU-native
+    analog of the reference's one-scene-per-GPU pool, run_base.py:13-43),
+    then the mesh + NVS-eval stages chain per scene with check_finish
+    gates and per-scene logdirs."""
+    import re
+
+    data_root = tmp_path / "scannetpp"
+    for s in ("sceneA", "sceneB"):
+        write_colmap_scene(str(data_root / s), n_cams=6, n_pts=300,
+                           width=64, height=48, with_priors=True)
+    out = tmp_path / "out_spp"
+    env = cpu_subprocess_env()
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts/run_scannetpp.py"),
+         "--data_root", str(data_root), "--out", str(out),
+         "--in_process", "8", "--iterations", "40", "--voxel_size", "0.08",
+         "--tpu.capacity=1024", "--model.depth_type=traditional",
+         "--model.llffhold=3",   # fixture has no meta split lists
+         "--optim.densify_from_iter=1000", "--train.test_iterations=[]",
+         "--train.save_iterations=[40]"],
+        env=env, capture_output=True, text=True, cwd=REPO, timeout=900)
+    assert r.returncode == 0, f"{r.stdout[-3000:]}\n{r.stderr[-2000:]}"
+
+    # both scenes trained, on two DISTINCT devices of the virtual mesh
+    devs = re.findall(r"trained in-process on device (\S+)", r.stdout)
+    assert len(devs) == 2 and len(set(devs)) == 2, r.stdout[-2000:]
+
+    for s in ("sceneA", "sceneB"):
+        assert os.path.isdir(out / s / "point_cloud"), s
+        assert os.path.exists(out / s / "ours.ply"), s
+    res = json.loads(r.stdout[r.stdout.rindex('{\n  "per_scene"'):])
+    assert res["ok"] == {"sceneA": True, "sceneB": True}
+    assert "mean_psnr" in res
+
+
 def test_runner_dry_runs(tmp_path):
     """Command templating of the remaining runners (no training): stage
     commands printed per scene in order."""

@@ -99,6 +99,27 @@ def set_tile(tile: int) -> None:
     from . import rasterize as _R     # deferred: rasterize imports us
     _R.clear_tile_caches()
 
+# Precision of the three weighted-accumulation matmuls (forward feature
+# accumulation `dacc`, backward `s` and `gfeat_acc`). Decided by the
+# round-4 interleaved A/B (scripts/ab_acc_precision.py, AB_ACC_PRECISION
+# .json, protocol shape): HIGHEST is FASTER than DEFAULT (fwd 78 vs 104 ms,
+# bwd 228 vs 244 ms) AND required for gradient fidelity — the backward's
+# per-entry grads diverge up to 37% of full scale under DEFAULT because
+# `s`/`gfeat_acc` feed the u = w*s cancellation chain. Keep HIGHEST. The
+# log-transmittance cumsum/suffix sums are pinned HIGHEST independently of
+# this knob (CLAUDE.md numerics doctrine).
+ACC_PRECISION = jax.lax.Precision.HIGHEST
+
+
+def set_acc_precision(p) -> None:
+    """A/B knob for the accumulation-matmul precision (trace-time global;
+    callers must clear the rasterize caches afterwards)."""
+    global ACC_PRECISION
+    ACC_PRECISION = p
+    from . import rasterize as _R
+    _R.clear_tile_caches()
+
+
 # extra gradient rows appended after the packed feature rows
 GROW_ABS_X = 0           # |d mean2d.x| accumulation (densification stats)
 GROW_ABS_Y = 1
@@ -350,7 +371,7 @@ def _fwd_kernel(starts_ref, counts_ref, cam_ref, feats_ref, out_ref, buf,
             dacc = jax.lax.dot_general(
                 w, fsub, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
-                                 precision=jax.lax.Precision.HIGHEST)    # (P, c_acc)
+                precision=ACC_PRECISION)               # (P, c_acc)
 
             d, _ = _depth_chunk(f, px, py, cam, depth_mode)
             wd = w * d
@@ -543,7 +564,7 @@ def _bwd_kernel(starts_ref, counts_ref, cam_ref, feats_ref, gout_ref,
             fsub = f[PF.F_NORMAL:PF.F_NORMAL + c_acc, :]
             s = jax.lax.dot_general(g_acc, fsub, (((1,), (0,)), ((), ())),
                                     preferred_element_type=jnp.float32,
-                                 precision=jax.lax.Precision.HIGHEST)
+                                    precision=ACC_PRECISION)
             s = s + d * (g_d + d * g_d2)
 
             u = w * s
@@ -575,7 +596,7 @@ def _bwd_kernel(starts_ref, counts_ref, cam_ref, feats_ref, gout_ref,
             gfeat_acc = jax.lax.dot_general(
                 g_acc, w, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-                                 precision=jax.lax.Precision.HIGHEST)    # (c_acc, G)
+                precision=ACC_PRECISION)               # (c_acc, G)
 
             # depth grads
             gd_pg = w * (g_d + 2.0 * d * g_d2)         # (P,G)

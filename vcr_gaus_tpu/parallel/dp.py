@@ -93,12 +93,39 @@ def replicate(tree: Any, mesh: Mesh):
                         tree)
 
 
-def scene_dispatch(scene_fns: list, mesh: Mesh | None = None):
-    """Share-nothing scene parallelism (the reference's dispatch_jobs):
-    run scene i's closure pinned to device i."""
-    devs = jax.devices()
-    results = []
-    for i, fn in enumerate(scene_fns):
-        with jax.default_device(devs[i % len(devs)]):
-            results.append(fn())
-    return results
+def scene_dispatch(scene_fns: list, mesh: Mesh | None = None,
+                   devices: list | None = None, parallel: bool = False):
+    """Share-nothing scene parallelism (the reference's dispatch_jobs,
+    python_scripts/run_base.py:13-43 — one scene per GPU from a pool).
+
+    Sequential mode (default): scene i's closure runs pinned to device
+    i % n via ``jax.default_device``. Parallel mode: closures run in a
+    thread pool with devices acquired from a queue — the exact analog of
+    the reference's GPUtil pool. ``jax.default_device`` is thread-local
+    config state and device execution releases the GIL, so concurrent
+    scenes genuinely overlap on distinct chips."""
+    devs = list(devices) if devices is not None else jax.devices()
+    if not parallel:
+        results = []
+        for i, fn in enumerate(scene_fns):
+            with jax.default_device(devs[i % len(devs)]):
+                results.append(fn())
+        return results
+
+    import queue
+    from concurrent.futures import ThreadPoolExecutor
+    pool: queue.Queue = queue.Queue()
+    for d in devs:
+        pool.put(d)
+
+    def run(fn):
+        d = pool.get()
+        try:
+            with jax.default_device(d):
+                return fn()
+        finally:
+            pool.put(d)
+
+    with ThreadPoolExecutor(max_workers=len(devs)) as ex:
+        futs = [ex.submit(run, fn) for fn in scene_fns]
+        return [f.result() for f in futs]
