@@ -204,6 +204,19 @@ def main():
     dt = (time.time() - t0) / (args.iters * k)
     its = 1.0 / dt
 
+    # absolute utilization accounting (VERDICT r3 next #6): analytic
+    # FLOPs/bytes of the step's algorithmic work vs v5e peaks — decouples
+    # "is it fast" from the assumed A100 baseline
+    from vcr_gaus_tpu.ops.binning import tile_grid
+    from vcr_gaus_tpu.utils import roofline
+    n_tx, n_ty = tile_grid(width, height, K.TILE)
+    model = roofline.step_model(
+        entries=min(int(aux["num_entries"]), entry_budget),
+        tile=K.TILE, n_tiles=n_tx * n_ty, f_pad=K.feat_rows(0),
+        g_chunk=K.G, blk=K.BLK, c_acc=6, c_pad=K.out_pad(0),
+        capacity=cap, width=width, height=height, sh_degree=3)
+    util = roofline.utilization(model, dt)
+
     base = P["baseline_iters_per_s"]
     print(json.dumps({
         "metric": "train_step_throughput",
@@ -229,6 +242,7 @@ def main():
         "resolution": f"{width}x{height}",
         "entry_budget": entry_budget,
         "peak_entries": peak_entries,
+        "roofline": util,
     }))
 
 

@@ -99,23 +99,74 @@ def set_tile(tile: int) -> None:
     from . import rasterize as _R     # deferred: rasterize imports us
     _R.clear_tile_caches()
 
+def set_chunk(g: int) -> None:
+    """A/B knob for the kernel DMA/compute chunk size G (trace-time global;
+    clears the rasterize caches). Must be a multiple of BLK=128 (the
+    blockwise triangular cumsum) and at most 4*ALIGN (the binning layout's
+    sentinel slack, binning.aligned_budget). Larger chunks amortize the
+    ~2 us/chunk fixed cost on dense tiles but coarsen both the per-tile
+    padding (mean G/2 wasted slots) and the early-termination granularity."""
+    global G
+    if g not in (128, 256, 384, 512):
+        raise ValueError(f"chunk must be one of 128/256/384/512, got {g}")
+    if g == G:
+        return
+    G = g
+    from . import rasterize as _R
+    _R.clear_tile_caches()
+
+
 # Precision of the three weighted-accumulation matmuls (forward feature
 # accumulation `dacc`, backward `s` and `gfeat_acc`). Decided by the
 # round-4 interleaved A/B (scripts/ab_acc_precision.py, AB_ACC_PRECISION
 # .json, protocol shape): HIGHEST is FASTER than DEFAULT (fwd 78 vs 104 ms,
-# bwd 228 vs 244 ms) AND required for gradient fidelity — the backward's
-# per-entry grads diverge up to 37% of full scale under DEFAULT because
-# `s`/`gfeat_acc` feed the u = w*s cancellation chain. Keep HIGHEST. The
-# log-transmittance cumsum/suffix sums are pinned HIGHEST independently of
-# this knob (CLAUDE.md numerics doctrine).
+# bwd 228 vs 244 ms) — kept on speed alone. Numerically these sites are
+# benign: measured through the production segment-sum, DEFAULT diverges
+# only ~3e-7 of scale (scripts/ab_kernel_opts.py; an earlier "37%
+# corruption" reading compared uninitialized inter-tile slack in the raw
+# grad buffer and is retracted). The log-transmittance cumsum/suffix sums
+# are pinned HIGHEST independently of this knob (CLAUDE.md numerics
+# doctrine — those DO feed a cancellation).
 ACC_PRECISION = jax.lax.Precision.HIGHEST
 
+# Precision of the log-transmittance triangular prefix/suffix matmuls.
+# These feed the exp(logT - suffix - carry) cancellation (see
+# _cumsum_incl_lanes) and MUST stay at full-f32 emulation. "3x" exploits
+# the 0/1 triangular operand being bf16-EXACT: split the data operand into
+# three exact-bf16 terms (24 mantissa bits total) and run three DEFAULT
+# passes — mathematically the same f32 product as HIGHEST but half the MXU
+# passes (Mosaic rejects Precision.HIGH, so the split is manual).
+TRI_PRECISION = jax.lax.Precision.HIGHEST
 
-def set_acc_precision(p) -> None:
-    """A/B knob for the accumulation-matmul precision (trace-time global;
-    callers must clear the rasterize caches afterwards)."""
-    global ACC_PRECISION
+
+def _tri_dot(x, tri):
+    """(P,BLK) x (BLK,BLK) f32 dot against a 0/1 matrix at TRI_PRECISION
+    ('3x' = manual three-pass bf16 split, exact because tri is bf16-exact
+    and each split term is exactly representable in bf16)."""
+    dims = (((1,), (0,)), ((), ()))
+    if TRI_PRECISION != "3x":
+        return jax.lax.dot_general(x, tri, dims,
+                                   preferred_element_type=jnp.float32,
+                                   precision=TRI_PRECISION)
+    x1 = x.astype(jnp.bfloat16)
+    r = x - x1.astype(jnp.float32)
+    x2 = r.astype(jnp.bfloat16)
+    x3 = (r - x2.astype(jnp.float32)).astype(jnp.bfloat16)
+    tb = tri.astype(jnp.bfloat16)
+
+    def d(a):
+        return jax.lax.dot_general(a, tb, dims,
+                                   preferred_element_type=jnp.float32)
+    return d(x1) + d(x2) + d(x3)
+
+
+def set_acc_precision(p, tri=None) -> None:
+    """A/B knob for the accumulation/triangular matmul precisions
+    (trace-time globals; clears the rasterize caches)."""
+    global ACC_PRECISION, TRI_PRECISION
     ACC_PRECISION = p
+    if tri is not None:
+        TRI_PRECISION = tri
     from . import rasterize as _R
     _R.clear_tile_caches()
 
@@ -204,9 +255,7 @@ def _cumsum_incl_lanes(x, ut):
     carry = None
     for b in range(G // BLK):
         xb = x[:, b * BLK:(b + 1) * BLK]
-        cb = jax.lax.dot_general(xb, ut, (((1,), (0,)), ((), ())),
-                                 preferred_element_type=jnp.float32,
-                                 precision=jax.lax.Precision.HIGHEST)
+        cb = _tri_dot(xb, ut)
         if carry is not None:
             cb = cb + carry
         parts.append(cb)
@@ -221,9 +270,7 @@ def _suffix_incl_lanes(x, lt):
     carry = None
     for b in reversed(range(nb)):
         xb = x[:, b * BLK:(b + 1) * BLK]
-        sb = jax.lax.dot_general(xb, lt, (((1,), (0,)), ((), ())),
-                                 preferred_element_type=jnp.float32,
-                                 precision=jax.lax.Precision.HIGHEST)
+        sb = _tri_dot(xb, lt)
         if carry is not None:
             sb = sb + carry
         parts[b] = sb
