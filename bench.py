@@ -70,6 +70,11 @@ def main():
     ap.add_argument("--steps_per_call", type=int, default=STEPS_PER_CALL)
     ap.add_argument("--iters", type=int, default=ITERS,
                     help="timed supersteps")
+    ap.add_argument("--cfg_path", default=None,
+                    help="time the step on a TRAINED population instead of "
+                         "the synthetic one: a logdir config.yaml whose "
+                         "latest PLY + scene cameras replace the preset's "
+                         "cloud (VERDICT r3 next #5 reconciliation)")
     args = ap.parse_args()
     P = PRESETS[args.preset]
     n_gauss, cap = P["n_gaussians"], P["capacity"]
@@ -94,32 +99,58 @@ def main():
                                             make_multi_train_step)
 
     rng = np.random.default_rng(0)
-    # surface-like cloud (sphere shell) approximating a trained DTU scan
-    theta = rng.uniform(0, 2 * np.pi, n_gauss)
-    z = rng.uniform(-1, 1, n_gauss)
-    r = np.sqrt(1 - z ** 2)
-    pts = np.stack([r * np.cos(theta), r * np.sin(theta), z],
-                   1).astype(np.float32)
-    pts = pts * 1.5 + np.array([0, 0, 4.0], np.float32)
-    cols = rng.uniform(0, 1, (n_gauss, 3)).astype(np.float32)
-    state = GM.create_from_pcd(pts, cols, cap, sh_degree=3)
-    if P["scale_mult"] != 1.0:
-        state = state._replace(params=state.params._replace(
-            log_scale=state.params.log_scale
-            + np.float32(np.log(P["scale_mult"]))))
+    population = "synthetic"
+    if args.cfg_path:
+        # trained-population mode: latest PLY + the scene's real cameras
+        from vcr_gaus_tpu.config import Config
+        from vcr_gaus_tpu.data.scene import load_scene_info
+        from vcr_gaus_tpu.models import ply_io
+        from depth2mesh import latest_iteration
+        tcfg = Config(args.cfg_path)
+        logdir = os.path.dirname(os.path.abspath(args.cfg_path))
+        it = latest_iteration(logdir)
+        ply = os.path.join(logdir, "point_cloud", f"iteration_{it}",
+                           "point_cloud.ply")
+        state0 = ply_io.load_gaussian_ply(ply, max_sh_degree=3)
+        n_gauss = int(np.asarray(state0.active).sum())
+        cap = max(cap, 1 << (n_gauss - 1).bit_length())
+        state = ply_io.load_gaussian_ply(ply, capacity=cap, max_sh_degree=3)
+        K.set_tile(int(tcfg.tpu.get("tile", P["tile"])))
+        info = load_scene_info(tcfg.model.source_path,
+                               resolution=tcfg.model.resolution)
+        c0 = info.train_cameras[0]
+        width, height = c0.width, c0.height
+        cams = [c.arrays() for c in info.train_cameras[:8]]
+        population = f"trained {ply} ({n_gauss} gaussians)"
+        print(f"trained population: {n_gauss} gaussians, cap {cap}, "
+              f"{width}x{height}, tile {K.TILE}", file=sys.stderr)
+    else:
+        # surface-like cloud (sphere shell) approximating a trained DTU scan
+        theta = rng.uniform(0, 2 * np.pi, n_gauss)
+        z = rng.uniform(-1, 1, n_gauss)
+        r = np.sqrt(1 - z ** 2)
+        pts = np.stack([r * np.cos(theta), r * np.sin(theta), z],
+                       1).astype(np.float32)
+        pts = pts * 1.5 + np.array([0, 0, 4.0], np.float32)
+        cols = rng.uniform(0, 1, (n_gauss, 3)).astype(np.float32)
+        state = GM.create_from_pcd(pts, cols, cap, sh_degree=3)
+        if P["scale_mult"] != 1.0:
+            state = state._replace(params=state.params._replace(
+                log_scale=state.params.log_scale
+                + np.float32(np.log(P["scale_mult"]))))
 
-    cams = []
-    for i in range(8):
-        ang = 2 * np.pi * i / 8
-        img = rng.uniform(0, 1, (3, height, width)).astype(np.float32)
-        nrm = rng.normal(size=(3, height, width)).astype(np.float32)
-        nrm /= np.linalg.norm(nrm, axis=0, keepdims=True)
-        cams.append(Camera(
-            colmap_id=i, idx=i, image_name=f"b{i}",
-            R=np.eye(3), T=np.array([0.3 * np.cos(ang), 0.3 * np.sin(ang),
-                                     0.0]),
-            fovx=0.9, fovy=0.7, width=width, height=height,
-            image=img, normal=nrm).arrays())
+        cams = []
+        for i in range(8):
+            ang = 2 * np.pi * i / 8
+            img = rng.uniform(0, 1, (3, height, width)).astype(np.float32)
+            nrm = rng.normal(size=(3, height, width)).astype(np.float32)
+            nrm /= np.linalg.norm(nrm, axis=0, keepdims=True)
+            cams.append(Camera(
+                colmap_id=i, idx=i, image_name=f"b{i}",
+                R=np.eye(3), T=np.array([0.3 * np.cos(ang),
+                                         0.3 * np.sin(ang), 0.0]),
+                fovx=0.9, fovy=0.7, width=width, height=height,
+                image=img, normal=nrm).arrays())
 
     # pre-stage cameras on device: steady-state training overlaps the
     # host->device image transfer with compute (and the tunnel inflates
@@ -237,6 +268,7 @@ def main():
         # default, trainer.make_multi_train_step)
         "steps_per_call": k,
         "preset": args.preset,
+        "population": population,
         "n_gaussians": n_gauss,
         "capacity": cap,
         "resolution": f"{width}x{height}",

@@ -534,3 +534,42 @@ def test_tile_32_matches_tile_16():
     np.testing.assert_allclose(out32, out16, atol=1e-5, rtol=1e-5)
     scale = max(np.abs(g16).max(), 1e-8)
     np.testing.assert_allclose(g32, g16, atol=1e-5 * scale, rtol=1e-4)
+
+
+def test_chunk_512_matches_chunk_256():
+    """The G chunk-size knob (K.set_chunk) must not change the rendered
+    image or the gradients — chunking only re-blocks the depth-ordered
+    entry walk (the early-termination rule is chunk-max transmittance, so
+    a LARGER chunk can only composite a superset of entries, all of which
+    carry weight < T_EPS). Guards the cache invalidation the same way
+    test_tile_32_matches_tile_16 does for the tile knob."""
+    feats, radius, cam = make_scene(n=50, seed=7)
+    depth_z = feats[:, PF.F_DEPTH_Z]
+    mean2d = feats[:, [PF.F_MEAN_X, PF.F_MEAN_Y]]
+    rng = np.random.default_rng(9)
+    g_img = jnp.asarray(rng.normal(size=(9 + CH_SEM, H, W)).astype(np.float32))
+
+    def run(g):
+        K.set_chunk(g)
+
+        def loss(f):
+            out, _ = R.rasterize_image(
+                f, jnp.zeros((f.shape[0], 2)), mean2d, radius, depth_z,
+                jnp.asarray(cam), W, H, CH_SEM, "traditional",
+                entry_budget=4096)
+            return jnp.sum(out * g_img), out
+
+        (l, out), grad = jax.value_and_grad(loss, has_aux=True)(feats)
+        return np.asarray(out), np.asarray(grad)
+
+    try:
+        out256, g256 = run(256)
+        out512, g512 = run(512)
+        out128, g128 = run(128)
+    finally:
+        K.set_chunk(256)
+    scale = max(np.abs(g256).max(), 1e-8)
+    np.testing.assert_allclose(out512, out256, atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(g512, g256, atol=1e-5 * scale, rtol=1e-4)
+    np.testing.assert_allclose(out128, out256, atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(g128, g256, atol=1e-5 * scale, rtol=1e-4)

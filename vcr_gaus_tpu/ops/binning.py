@@ -71,11 +71,12 @@ def tile_grid(width: int, height: int, tile: int) -> tuple[int, int]:
 
 
 def aligned_budget(entry_budget: int, num_tiles: int, align: int) -> int:
-    """Static size of the aligned entry array. One extra align block of
-    sentinel slack lets a raster kernel whose DMA chunk is LARGER than the
-    region alignment (G up to 2*align) overrun the final tile's region
-    without reading past the array."""
-    return cdiv(entry_budget, align) * align + (num_tiles + 1) * align
+    """Static size of the aligned entry array. Four extra align blocks of
+    sentinel slack let a raster kernel whose DMA chunk is LARGER than the
+    region alignment (G up to 4*align = rasterize_tpu.set_chunk's cap)
+    overrun the final tile's region without reading past the array; slack
+    slots sort to the tail carrying gid == N (zero payload, alpha 0)."""
+    return cdiv(entry_budget, align) * align + (num_tiles + 4) * align
 
 
 def depth_key_bits(num_tiles: int) -> int:

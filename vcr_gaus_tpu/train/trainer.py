@@ -212,9 +212,18 @@ def _make_step_impl(cfg, rcfg: RenderConfig, weights: dict,
             rotation=cfg.optim.rotation_lr, obj_dc=cfg.optim.feature_lr)
         new_state = GM.adam_step(state, g_params, lrs)
 
-        # densification statistics (trainer.py:343-347)
+        # densification statistics (trainer.py:343-347). Unit parity: the
+        # reference CUDA backward reports mean2D grads through the ndc2Pix
+        # jacobian (upstream backward.cu: ddelx_dx = 0.5*W, ddely_dy =
+        # 0.5*H), while the kernel's densify stream is raw PIXEL-unit
+        # |d mean2d| — scale here, or the shared densify_grad_threshold
+        # (config_base.yaml:59, 5e-4) sits ~0.5*W too high and gradient
+        # densification never fires (caught by the r4 rehearsal: n_active
+        # froze at the init count through the whole densify window).
+        ndc_scale = jnp.array([0.5 * rcfg.width, 0.5 * rcfg.height],
+                              jnp.float32)
         new_state = GM.add_densification_stats(
-            new_state, g_dummy, radii, visibility)
+            new_state, g_dummy * ndc_scale, radii, visibility)
 
         # side networks
         new_net = net
@@ -482,6 +491,7 @@ class Trainer:
         # 1600-wide protocol shapes tile 32 is 1.69x faster end-to-end)
         from ..ops import rasterize_tpu as _K
         _K.set_tile(int(cfg.tpu.get("tile", 16)))
+        _K.set_chunk(int(cfg.tpu.get("chunk", 256)))
         # reference debug hooks (SURVEY.md §5.2): torch anomaly detection ->
         # jax NaN tracing; nsys-style profiling -> the jax.profiler server
         # (point TensorBoard / xprof at it)
