@@ -29,6 +29,15 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 sys.path.insert(0, os.path.join(REPO, "tests"))
 
+# The PARENT process only writes the scene (fixture oracle renders) and
+# parses artifacts — pin it to CPU so it never opens the tunnel; the
+# train/mesh/eval stages run in subprocesses that inherit the default
+# (chip) backend. os.environ would propagate to the children, so use the
+# in-process config switch instead (tests/conftest.py idiom).
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
 
 def run(cmd):
     print("+", " ".join(cmd), flush=True)
