@@ -36,6 +36,10 @@ def main():
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--variants", type=str, default="base,tri_3x")
+    ap.add_argument("--payload", choices=("real", "noise"), default="real",
+                    help="feature payload: real packed projection features "
+                         "(honest early-termination workload) or the "
+                         "pre-r4 noise rows")
     args = ap.parse_args()
 
     import jax
@@ -66,6 +70,10 @@ def main():
         "g128": dict(acc=HI, tri=HI, chunk=128),
         "g384": dict(acc=HI, tri=HI, chunk=384),
         "g512": dict(acc=HI, tri=HI, chunk=512),
+        # termination-consensus granularity (base STRIP_ROWS=128): 0 =
+        # tile-wide consensus (the pre-r4 behavior). Run with
+        # --payload real — termination depends on actual opacities.
+        "strip0": dict(acc=HI, tri=HI, strip=0),
     }
     names = [v for v in args.variants.split(",") if v]
 
@@ -93,8 +101,33 @@ def main():
                         entry_budget=args.budget, mask_depth_thr=0.8)
     aux0 = jax.jit(lambda st: RR.compute_camera_binning(st, cam, rcfg))(state)
     f_pad = K.feat_rows(0)
-    payload0 = jnp.asarray(
-        rng.normal(size=(f_pad, args.cap)).astype(np.float32))
+    if args.payload == "real":
+        # the real packed features: early termination (and therefore the
+        # strip-consensus variants) depends on actual opacities/conics —
+        # noise features misrepresent the compositing workload
+        from vcr_gaus_tpu.ops import projection as PF
+
+        @jax.jit
+        def _pack(st):
+            p = st.params
+            proj = PF.project_gaussians(
+                p.xyz, st.scaling, p.quat, cam.viewmatrix, cam.projmatrix,
+                cam.tanfov[0], cam.tanfov[1], args.w, args.h, 1.0,
+                opacity=st.opacity[:, 0])
+            rgbv = jnp.ones((p.xyz.shape[0], 3), jnp.float32) * 0.5
+            nrm = proj.mean_cam / jnp.maximum(
+                jnp.linalg.norm(proj.mean_cam, axis=-1, keepdims=True), 1e-6)
+            feats = PF.pack_features(proj, st.opacity[:, 0], rgbv, -nrm,
+                                     None, 0)
+            pad = f_pad - feats.shape[1] - 2
+            rows = [feats.T, jnp.zeros((2, feats.shape[0]))]
+            if pad:
+                rows.append(jnp.zeros((pad, feats.shape[0])))
+            return jnp.concatenate(rows, axis=0)
+        payload0 = _pack(state)
+    else:
+        payload0 = jnp.asarray(
+            rng.normal(size=(f_pad, args.cap)).astype(np.float32))
     build_pre = R._make_entry_builder_pre(args.budget)
     feats_t0 = jax.jit(lambda p: build_pre(
         p, aux0.binn.sorted_gid, aux0.perm, aux0.binn.gauss_offsets,
@@ -161,10 +194,12 @@ def main():
         v = VARIANTS[name]
         K.set_acc_precision(v["acc"], tri=v["tri"])
         K.set_chunk(v.get("chunk", 256))
+        K.set_strip_rows(v.get("strip", 128))
         runs[name] = make_runs(name)
     # restore defaults so a crash doesn't leave globals dirty
     K.set_acc_precision(HI, tri=HI)
     K.set_chunk(256)
+    K.set_strip_rows(128)
 
     def t_ms(fn):
         s = fn(feats_t0)
