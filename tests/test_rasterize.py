@@ -573,3 +573,107 @@ def test_chunk_512_matches_chunk_256():
     np.testing.assert_allclose(g512, g256, atol=1e-5 * scale, rtol=1e-4)
     np.testing.assert_allclose(out128, out256, atol=1e-5, rtol=1e-5)
     np.testing.assert_allclose(g128, g256, atol=1e-5 * scale, rtol=1e-4)
+
+
+def _dense_strip_scene(n=1200, seed=11):
+    """n near-opaque splats blanketing the TOP consensus strip (image rows
+    0..7) of tile (0,0): the top 128-pixel strip saturates within the
+    first chunk or two while the bottom strip keeps uncovered pixels
+    (rows >= 14, T = 1) forever — the exact pattern where tile-wide
+    consensus never terminates but strip consensus does."""
+    rng = np.random.default_rng(seed)
+    mean2d = np.stack([rng.uniform(-4, 20, n), rng.uniform(-4, 6, n)], 1)
+    sig = 2.5
+    conic = np.stack([np.full(n, 1 / sig**2), np.zeros(n),
+                      np.full(n, 1 / sig**2)], 1)
+    feats = np.zeros((n, PF.feature_dim(CH_SEM)), np.float32)
+    feats[:, PF.F_MEAN_X] = mean2d[:, 0]
+    feats[:, PF.F_MEAN_Y] = mean2d[:, 1]
+    feats[:, PF.F_CONIC_A:PF.F_CONIC_C + 1] = conic
+    feats[:, PF.F_OPACITY] = 0.99
+    feats[:, PF.F_DEPTH_Z] = np.linspace(1.0, 8.0, n)
+    normal = rng.normal(size=(n, 3))
+    normal[:, 2] = -np.abs(normal[:, 2]) - 0.3
+    normal /= np.linalg.norm(normal, axis=1, keepdims=True)
+    feats[:, PF.F_NORMAL:PF.F_NORMAL + 3] = normal
+    feats[:, PF.F_PLANE_D] = np.abs(
+        (normal * np.stack([rng.normal(size=n), rng.normal(size=n),
+                            feats[:, PF.F_DEPTH_Z]], 1)).sum(1)) + 0.5
+    feats[:, PF.F_NORMAL + 3:PF.F_NORMAL + 6] = rng.uniform(0, 1, (n, 3))
+    feats[:, PF.F_NORMAL + 6:PF.F_NORMAL + 6 + CH_SEM] = rng.uniform(
+        0, 1, (n, CH_SEM))
+    radius = np.full(n, int(np.ceil(3 * sig)), np.int32)
+    cam = np.array([30.0, 30.0, W / 2, H / 2, 0.1, 0.2, 0.3, 0.0],
+                   np.float32)
+    return jnp.asarray(feats), jnp.asarray(radius), cam
+
+
+def test_strip_termination_semantics_and_fires():
+    """Strip-granular early termination (K.STRIP_ROWS / set_strip_rows):
+
+    (a) the top strip of the dense tile actually terminates early (its
+        hidden per-strip chunk count < the live bottom strip's) while
+        tile-wide consensus (strip_rows=0) never terminates;
+    (b) outputs match the tile-consensus composite within the T_EPS
+        truncation band (remaining transmittance bounds the dropped
+        weight), and gradients within the same band summed over a strip.
+
+    Termination granularity is a PERFORMANCE knob with bounded output
+    effect — the CUDA fork drops the same sub-T_EPS contributions
+    per-pixel (upstream forward.cu)."""
+    feats, radius, cam = _dense_strip_scene()
+    depth_z = feats[:, PF.F_DEPTH_Z]
+    mean2d = feats[:, [PF.F_MEAN_X, PF.F_MEAN_Y]]
+    rng = np.random.default_rng(12)
+    g_img = jnp.asarray(rng.normal(size=(9 + CH_SEM, H, W)).astype(np.float32))
+
+    def run(rows):
+        K.set_strip_rows(rows)
+
+        def loss(f):
+            out, _ = R.rasterize_image(
+                f, jnp.zeros((f.shape[0], 2)), mean2d, radius, depth_z,
+                jnp.asarray(cam), W, H, CH_SEM, "traditional",
+                entry_budget=4096)
+            return jnp.sum(out * g_img), out
+
+        (l, out), grad = jax.value_and_grad(loss, has_aux=True)(feats)
+
+        # per-strip composited-chunk counts of tile (0,0) via the hidden
+        # channel of a direct forward call
+        f_pad = K.feat_rows(CH_SEM)
+        pad_c = f_pad - (feats.shape[1] + 2)
+        payload_t = jnp.concatenate(
+            [feats.T, jnp.zeros((2, feats.shape[0]))]
+            + ([jnp.zeros((pad_c, feats.shape[0]))] if pad_c else []), axis=0)
+        build = R._make_entry_builder(W, H, 4096)
+        feats_t, binn = build(payload_t, mean2d, radius, depth_z, None)
+        n_tx, n_ty = B.tile_grid(W, H, K.TILE)
+        tiles = K.rasterize_forward(feats_t, binn.tile_starts,
+                                    binn.tile_counts, jnp.asarray(cam),
+                                    n_tx, n_ty, CH_SEM, "traditional")
+        oc = K.out_channels(CH_SEM)
+        kcol = np.asarray(tiles[0, :, oc + 1])
+        return np.asarray(out), np.asarray(grad), kcol, int(
+            np.ceil(int(binn.tile_counts[0]) / K.G))
+
+    try:
+        # 64-row strips: 4 consensus strips at TILE=16 (the default 128
+        # gives only 2, which the <4-strips gate reverts to tile-wide)
+        out_s, g_s, k_s, nch = run(64)
+        out_t, g_t, k_t, _ = run(0)
+    finally:
+        K.set_strip_rows(128)
+
+    assert nch >= 2, "scene must span multiple chunks in tile 0"
+    # (a) termination fired per strip: top strip stopped before the bottom
+    k_top, k_bot = k_s[:128].max(), k_s[128:].max()
+    assert k_bot == nch, (k_bot, nch)      # uncovered pixels keep it live
+    assert k_top < k_bot, (k_top, k_bot)
+    # tile-wide consensus never terminates here (bottom pixels at T = 1)
+    assert k_t.min() == nch
+
+    # (b) truncation-band equality
+    np.testing.assert_allclose(out_s, out_t, atol=3e-4, rtol=1e-4)
+    scale = max(np.abs(g_t).max(), 1e-8)
+    np.testing.assert_allclose(g_s, g_t, atol=3e-2 * scale, rtol=1e-3)

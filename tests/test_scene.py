@@ -103,3 +103,57 @@ def test_reprojection_consistency(scene_dir):
         clip = hom @ cam.full_proj_transform
         ndc = clip[:, :3] / clip[:, 3:4]
         assert np.all(np.abs(ndc[:, :2]) < 1.2)
+
+
+def test_compact_arrays_decode_matches_arrays(scene_dir):
+    """compact_arrays() + decode_arrays() (the device-cache path the
+    trainer stages cameras through) must reproduce arrays() EXACTLY for
+    every component and dtype combination: u8 image (f32/255), f16 normal,
+    depth, mask, and full-size-zero placeholders for missing pieces."""
+    from vcr_gaus_tpu.data.cameras import decode_arrays
+
+    info = read_colmap_scene(scene_dir, eval_split=False, resolution=1)
+    for cam in (info.train_cameras[0],
+                # missing priors: full-size zero placeholders
+                info.train_cameras[1].__class__(
+                    **{**info.train_cameras[1].__dict__,
+                       "normal": None, "depth": None, "mask": None,
+                       "loaders": None})):
+        ref = cam.arrays()
+        dec = decode_arrays(cam.compact_arrays())
+        for f in ref._fields:
+            a, b = getattr(ref, f), np.asarray(getattr(dec, f))
+            assert a.shape == b.shape, f
+            assert a.dtype == b.dtype, (f, a.dtype, b.dtype)
+            np.testing.assert_array_equal(a, b, err_msg=f)
+
+
+def test_device_cam_cache_lru_and_values(scene_dir):
+    """_DeviceCamCache: staged stacks equal the host path bit-for-bit; the
+    byte cap evicts least-recently-used entries."""
+    import jax
+
+    from vcr_gaus_tpu.data.cameras import decode_arrays
+    from vcr_gaus_tpu.parallel import dp
+    from vcr_gaus_tpu.train.trainer import _DeviceCamCache
+
+    info = read_colmap_scene(scene_dir, eval_split=False, resolution=1)
+    cams = info.train_cameras
+    cache = _DeviceCamCache(cams, cap_bytes=1 << 30)
+    stack = jax.tree.map(
+        lambda *xs: np.stack(xs),
+        *[decode_arrays(cache.get(i)) for i in range(3)])
+    host = dp.stack_cameras([cams[i].arrays() for i in range(3)])
+    for f in host._fields:
+        np.testing.assert_array_equal(np.asarray(getattr(stack, f)),
+                                      getattr(host, f), err_msg=f)
+
+    # LRU eviction: cap to ~2 cameras' bytes
+    one = sum(int(x.nbytes)
+              for x in jax.tree.leaves(cams[0].compact_arrays()))
+    small = _DeviceCamCache(cams, cap_bytes=int(one * 2.5))
+    small.get(0), small.get(1)
+    small.get(0)                      # 0 now most-recent
+    small.get(2)                      # evicts 1
+    assert set(small._store) == {0, 2}
+    assert small._bytes <= int(one * 2.5)

@@ -133,6 +133,50 @@ class Camera:
         normal = self._component("normal")
         depth = self._component("depth")
         mask = self._component("mask")
+        return self._assemble(img, normal, depth, mask)
+
+    def compact_arrays(self) -> CameraArrays:
+        """CameraArrays in COMPACT storage dtypes (u8 image, f16 normal, …)
+        for ONE-TIME device residency: `decode_arrays` (the device-side
+        analog of `arrays()`'s normalization) turns the resident copy into
+        the f32 jit-facing pytree with zero further host↔device traffic —
+        the reference keeps whole tensors on the GPU (data_device=cuda,
+        scene/cameras.py:35-46); this is the HBM-frugal equivalent for a
+        backend where every host→device byte rides a slow link. Missing
+        components materialize as full-size compact zeros so per-camera
+        pytrees stack uniformly (matching arrays()' zero semantics)."""
+        h, w = self.height, self.width
+        img = self._component("image")
+        if img is None:
+            img = np.zeros((3, h, w), np.uint8)
+        normal = self._component("normal")
+        has_n = normal is not None
+        if not has_n:
+            normal = np.zeros((3, h, w), np.float16)
+        depth = self._component("depth")
+        has_d = depth is not None
+        if not has_d:
+            depth = np.zeros((h, w), np.float32)
+        mask = self._component("mask")
+        has_m = mask is not None
+        if not has_m:
+            mask = np.zeros((h, w), np.uint8)
+        return CameraArrays(
+            viewmatrix=self.world_view_transform.astype(np.float32),
+            projmatrix=self.full_proj_transform.astype(np.float32),
+            cam_center=self.camera_center.astype(np.float32),
+            intr=self.intrinsics,
+            tanfov=np.array([math.tan(self.fovx / 2),
+                             math.tan(self.fovy / 2)], np.float32),
+            image=img, normal=normal, depth=depth, mask=mask,
+            has_normal=np.asarray(has_n),
+            has_depth=np.asarray(has_d),
+            has_mask=np.asarray(has_m),
+            idx=np.asarray(self.idx, np.int32),
+        )
+
+    def _assemble(self, img, normal, depth, mask) -> CameraArrays:  # noqa: D401
+        h, w = self.height, self.width
         return CameraArrays(
             viewmatrix=self.world_view_transform.astype(np.float32),
             projmatrix=self.full_proj_transform.astype(np.float32),
@@ -153,3 +197,23 @@ class Camera:
             has_mask=np.asarray(mask is not None),
             idx=np.asarray(self.idx, np.int32),
         )
+
+
+def decode_arrays(c: CameraArrays) -> CameraArrays:
+    """Device-side analog of ``Camera.arrays()``'s dtype normalization for a
+    ``compact_arrays()`` pytree: u8 image → f32/255, f16 normal/depth → f32,
+    mask → int32. Pure jnp (jit-safe); produces exactly the values
+    ``arrays()`` would — the pair lets a trainer keep cameras device-
+    resident in compact form and decode per use on device instead of
+    re-uploading f32 stacks through the host link every step."""
+    import jax.numpy as jnp
+
+    img = jnp.asarray(c.image)
+    img = (img.astype(jnp.float32) / 255.0 if img.dtype == jnp.uint8
+           else img.astype(jnp.float32))
+    return c._replace(
+        image=img,
+        normal=jnp.asarray(c.normal).astype(jnp.float32),
+        depth=jnp.asarray(c.depth).astype(jnp.float32),
+        mask=jnp.asarray(c.mask).astype(jnp.int32),
+    )

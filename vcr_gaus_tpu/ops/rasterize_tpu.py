@@ -18,14 +18,18 @@ the same packed feature layout, which the host wrapper segment-sums back to
 per-Gaussian gradients.
 
 Early termination (CUDA-fork parity, upstream forward.cu): once every pixel
-of a tile has transmittance < T_EPS, the remaining chunks' compute is
-skipped via lax.cond (the DMA pipeline runs on — at 16 KB/chunk it is never
-the bottleneck). The forward records the number of composited chunks in a
-hidden output channel; the backward only processes those and writes zero
-gradients for the rest.
+of a STRIP_ROWS-pixel consensus strip has transmittance < T_EPS, that
+strip's remaining chunks' compute is skipped via pl.when (the DMA pipeline
+runs on — at ~24 KB/chunk it is never the bottleneck). The CUDA fork's
+consensus group is its 16x16 thread block (__syncthreads_count); ours is a
+128-pixel row strip — FINER, so one uncovered pixel (background ray, splat
+gap) only keeps its own strip compositing, not the whole tile. The forward
+records per-strip composited-chunk counts in a hidden output channel; the
+backward only processes those per strip and writes zero gradients for the
+rest.
 
 Deviations from the CUDA fork (documented, metric-neutral):
-  * termination is at chunk granularity on the tile-max transmittance
+  * termination is at chunk granularity on the strip-max transmittance
     (conservative: never terminates earlier than the per-pixel CUDA rule);
   * distortion is the order-independent pairwise-squared form computed
     outside the kernel from the (sum w, sum w d, sum w d^2) channels.
@@ -62,11 +66,57 @@ G = 256                  # entries per chunk
 ALIGN = 128              # tile-region alignment (binning layout)
 ALPHA_EPS = 1.0 / 255.0
 ALPHA_CAP = 0.99
-# chunk-level early termination: once EVERY pixel of the tile has
-# transmittance below this, remaining chunks are skipped (compute only; the
-# DMA pipeline runs on). The CUDA fork terminates per-pixel at T < 1e-4
-# (upstream forward.cu); chunk-max is the conservative TPU-vector analog.
+# chunk-level early termination: once EVERY pixel of a consensus group has
+# transmittance below this, that group's remaining chunks are skipped
+# (compute only; the DMA pipeline runs on). The CUDA fork terminates
+# per-pixel at T < 1e-4 with a block-wide __syncthreads_count consensus
+# over its 16x16 block (upstream forward.cu); group-max is the
+# conservative TPU-vector analog.
 T_EPS = 1e-4
+# Termination-consensus granularity: pixels per strip. The kernels guard
+# each STRIP_ROWS-pixel row-strip of the (P, G) chunk compute with its own
+# transmittance consensus, so one uncovered pixel (background ray, splat
+# gap) only keeps ITS strip compositing, not the whole tile. 128 = one
+# (sublane-aligned) vector-register row block = 4 image rows at tile 32;
+# finer than the CUDA fork's 256-pixel block consensus. 0 disables
+# (tile-wide consensus, the pre-r4 behavior). Measured headroom
+# (scripts/ab_term.py, synthetic protocol population): strip consensus
+# does 1.16x less pair-work than tile consensus; per-pixel (not
+# expressible in vector registers) would be 1.67x.
+STRIP_ROWS = int(os.environ.get("VCR_STRIP_ROWS", "128"))
+if STRIP_ROWS and (STRIP_ROWS % 8 or STRIP_ROWS < 0):
+    raise ValueError(f"VCR_STRIP_ROWS={STRIP_ROWS} must be a multiple of 8")
+
+
+def _n_strips() -> int:
+    """Consensus strips per tile at the current TILE/STRIP_ROWS globals.
+
+    Gated to shapes where strips can pay: fewer than 4 strips (tile <= 16
+    at the default 128) reverts to tile-wide consensus — measured
+    (scripts/ab_term.py): dev-shape tiles hold ~1 chunk, so chunk-granular
+    termination never fires and per-strip guards are pure overhead; the
+    ns == 1 program is also byte-identical to the pre-strip kernel (compile
+    cache hit). Capped at 8 strips (tile 64 would otherwise run 32 guard
+    branches per chunk)."""
+    if not STRIP_ROWS or P % STRIP_ROWS:
+        return 1
+    ns = P // STRIP_ROWS
+    if ns < 4:
+        return 1
+    return min(ns, 8)
+
+
+def set_strip_rows(rows: int) -> None:
+    """A/B knob for the termination-consensus strip height (trace-time
+    global; clears the rasterize caches). 0 = tile-wide consensus."""
+    global STRIP_ROWS
+    if rows and (rows % 8 or rows < 0):
+        raise ValueError(f"strip_rows must be a multiple of 8, got {rows}")
+    if rows == STRIP_ROWS:
+        return
+    STRIP_ROWS = rows
+    from . import rasterize as _R
+    _R.clear_tile_caches()
 # Mosaic's default scoped-vmem guardrail is 16 MB; the (P, G) working set
 # scales with the tile area, and at TILE=32 the backward's temporaries need
 # ~22 MB (measured compile failure) of the chip's 128 MB VMEM. Leave the
@@ -307,9 +357,11 @@ def _alpha_chunk(f, px, py, n_rem, pvalid=None):
 
 
 def _depth_chunk(f, px, py, cam, depth_mode: str):
-    """Per-(pixel, gaussian) depth d (P,G)."""
+    """Per-(pixel, gaussian) depth d (rows, G); rows = px.shape[0] (the
+    full tile or one consensus strip)."""
     if depth_mode == "traditional":
-        return jnp.broadcast_to(f[PF.F_DEPTH_Z:PF.F_DEPTH_Z + 1, :], (P, G)), None
+        return jnp.broadcast_to(f[PF.F_DEPTH_Z:PF.F_DEPTH_Z + 1, :],
+                                (px.shape[0], G)), None
     fx, fy, cx, cy = cam[0], cam[1], cam[2], cam[3]
     dirx = (px + 0.5 - cx) / fx                       # (P,1)
     diry = (py + 0.5 - cy) / fy
@@ -392,7 +444,10 @@ def _fwd_kernel(starts_ref, counts_ref, cam_ref, feats_ref, out_ref, buf,
     acc_ref[:] = jnp.concatenate(
         [jnp.ones((P, 1), jnp.float32),
          jnp.zeros((P, 3 + c_acc), jnp.float32)], axis=1)
-    kref[0] = 0
+    ns = _n_strips()
+    sp = P // ns
+    for s in range(ns):
+        kref[s] = 0
 
     def body(k, _):
         slot = jnp.where(k == 0, s0, (k - 1) % 2)
@@ -404,32 +459,40 @@ def _fwd_kernel(starts_ref, counts_ref, cam_ref, feats_ref, out_ref, buf,
         @pl.when(k > 0)
         def _():
             get_dma(slot, k).wait()
-        t_carry = acc_ref[:, 0:1]
 
-        @pl.when(jnp.max(t_carry) >= T_EPS)
-        def _():
-            f = buf[slot]                              # (F_PAD, G)
-            alpha, ex = _alpha_chunk(f, px, py, n - k * G)
-            trans_excl, chunk_total, chunk_log = _transmittance(alpha, ut)
-            w = alpha * trans_excl * t_carry           # (P,G)
+        # per-strip consensus: each STRIP_ROWS-pixel row block composites
+        # only while ITS max transmittance is live (forward.cu's per-block
+        # __syncthreads_count consensus, at finer granularity)
+        for s in range(ns):
+            r0 = s * sp
+            t_carry = acc_ref[r0:r0 + sp, 0:1]
 
-            # features to composite: rows [normal(3), rgb(3), sem(S)]
-            fsub = f[PF.F_NORMAL:PF.F_NORMAL + c_acc, :]  # (c_acc, G)
-            dacc = jax.lax.dot_general(
-                w, fsub, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=ACC_PRECISION)               # (P, c_acc)
+            @pl.when(jnp.max(t_carry) >= T_EPS)
+            def _(s=s, r0=r0, t_carry=t_carry):
+                f = buf[slot]                          # (F_PAD, G)
+                alpha, ex = _alpha_chunk(f, px[r0:r0 + sp], py[r0:r0 + sp],
+                                         n - k * G)
+                trans_excl, chunk_total, chunk_log = _transmittance(alpha, ut)
+                w = alpha * trans_excl * t_carry       # (sp,G)
 
-            d, _ = _depth_chunk(f, px, py, cam, depth_mode)
-            wd = w * d
-            prev = acc_ref[:]
-            acc_ref[:] = jnp.concatenate(
-                [t_carry * chunk_total,
-                 prev[:, 1:2] + chunk_log,
-                 prev[:, 2:3] + jnp.sum(wd, axis=1, keepdims=True),
-                 prev[:, 3:4] + jnp.sum(wd * d, axis=1, keepdims=True),
-                 prev[:, 4:] + dacc], axis=1)
-            kref[0] = kref[0] + 1
+                # features to composite: rows [normal(3), rgb(3), sem(S)]
+                fsub = f[PF.F_NORMAL:PF.F_NORMAL + c_acc, :]  # (c_acc, G)
+                dacc = jax.lax.dot_general(
+                    w, fsub, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=ACC_PRECISION)           # (sp, c_acc)
+
+                d, _ = _depth_chunk(f, px[r0:r0 + sp], py[r0:r0 + sp], cam,
+                                    depth_mode)
+                wd = w * d
+                prev = acc_ref[r0:r0 + sp, :]
+                acc_ref[r0:r0 + sp, :] = jnp.concatenate(
+                    [t_carry * chunk_total,
+                     prev[:, 1:2] + chunk_log,
+                     prev[:, 2:3] + jnp.sum(wd, axis=1, keepdims=True),
+                     prev[:, 3:4] + jnp.sum(wd * d, axis=1, keepdims=True),
+                     prev[:, 4:] + dacc], axis=1)
+                kref[s] = kref[s] + 1
 
         return 0
 
@@ -438,18 +501,25 @@ def _fwd_kernel(starts_ref, counts_ref, cam_ref, feats_ref, out_ref, buf,
     row = acc_ref[:]
     t_final, logt = row[:, 0:1], row[:, 1:2]
     acc_d, acc_d2, acc = row[:, 2:3], row[:, 3:4], row[:, 4:]
-    k_done = kref[0]
+    # per-strip composited-chunk counts, broadcast over each strip's rows
+    if ns == 1:
+        k_done = jnp.zeros((P, 1), jnp.float32) + kref[0].astype(jnp.float32)
+    else:
+        k_done = jnp.concatenate(
+            [jnp.zeros((sp, 1), jnp.float32) + kref[s].astype(jnp.float32)
+             for s in range(ns)], axis=0)
 
     # acc columns: [nx,ny,nz, r,g,b, sem...]  (feature-row order 8..)
     bg = jnp.stack([cam[4], cam[5], cam[6]])[None, :]  # (1,3)
     rgb = acc[:, 3:6] + t_final * bg
     # hidden channels right after the public ones: log total transmittance
-    # and the early-termination chunk count (int stored as float)
+    # and the per-strip early-termination chunk counts (ints stored as
+    # float, broadcast over each strip's rows)
     cols = [rgb, acc[:, 0:3], acc_d, acc_d2, 1.0 - t_final]
     if ch_sem:
         cols.append(acc[:, 6:6 + ch_sem])
     cols.append(logt)
-    cols.append(jnp.zeros((P, 1), jnp.float32) + k_done.astype(jnp.float32))
+    cols.append(k_done)
     n_pad = c_pad - out_channels(ch_sem) - 2
     if n_pad:
         cols.append(jnp.zeros((P, n_pad), jnp.float32))
@@ -473,7 +543,7 @@ def rasterize_forward(feats_t: jnp.ndarray, tile_starts: jnp.ndarray,
         scratch_shapes=[
             pltpu.VMEM((4, feats_t.shape[0], G), jnp.float32),
             pltpu.VMEM((P, 4 + 6 + ch_sem), jnp.float32),
-            pltpu.SMEM((1,), jnp.int32),
+            pltpu.SMEM((_n_strips(),), jnp.int32),
             pltpu.SemaphoreType.DMA((4,)),
         ],
     )
@@ -520,11 +590,14 @@ def _bwd_kernel(starts_ref, counts_ref, cam_ref, feats_ref, gout_ref,
         g_acc = jnp.concatenate([g_nrm, g_rgb], axis=1)
 
     # hidden channels from the forward: per-pixel log total transmittance
-    # and the number of chunks composited before early termination
+    # and the per-strip number of chunks composited before early termination
     oc = out_channels(ch_sem)
     logt_final = out_ref_fwd[0][:, oc:oc + 1]
     t_final = jnp.exp(logt_final)
-    k_lim = jnp.max(out_ref_fwd[0][:, oc + 1:oc + 2]).astype(jnp.int32)
+    ns = _n_strips()
+    sp = P // ns
+    k_lim = [jnp.max(out_ref_fwd[0][s * sp:(s + 1) * sp, oc + 1:oc + 2]
+                     ).astype(jnp.int32) for s in range(ns)]
     bg = jnp.stack([cam[4], cam[5], cam[6]])[None, :]
     b_pix = jnp.sum(bg * g_rgb, axis=1, keepdims=True) - g_al     # (P,1)
     tb = t_final * b_pix
@@ -591,104 +664,109 @@ def _bwd_kernel(starts_ref, counts_ref, cam_ref, feats_ref, gout_ref,
                 gfeat_ref.at[:, pl.ds(start + k * G, G)],  # size-alike only
                 wsem.at[wslot]).wait()
 
-        @pl.when(k >= k_lim)
-        def _():
-            # chunk never composited in the forward (early termination):
-            # zero grads, carries unchanged
-            gbuf[wslot] = jnp.zeros((grows, G), jnp.float32)
+        # zero-init the per-entry grad rows, then each live strip ADDS its
+        # partial reductions (strips partition the pixel axis, so the sums
+        # compose); strips whose forward terminated before chunk k skip —
+        # their pixels' grads for these entries are exactly the forward's
+        # dropped sub-T_EPS contributions (CUDA-fork per-pixel rule)
+        gbuf[wslot] = jnp.zeros((grows, G), jnp.float32)
+        for st in range(ns):
+            r0 = st * sp
+            rs = slice(r0, r0 + sp)
 
-        @pl.when(k < k_lim)
-        def _():
-            f = buf[slot]
-            log_r = carr_ref[:, 0:1]                   # over chunks > k
-            suffix_u = carr_ref[:, 1:2]
-            alpha, ex = _alpha_chunk(f, px, py, n - k * G)
-            lg = jnp.log1p(-alpha)
-            suf_incl = _suffix_incl_lanes(lg, lt)      # sum_{j>=g in chunk}
-            v = jnp.exp(logt_final - suf_incl - log_r)  # trans before entry
-            w = alpha * v
-            d, dex = _depth_chunk(f, px, py, cam, depth_mode)
-            fsub = f[PF.F_NORMAL:PF.F_NORMAL + c_acc, :]
-            s = jax.lax.dot_general(g_acc, fsub, (((1,), (0,)), ((), ())),
-                                    preferred_element_type=jnp.float32,
-                                    precision=ACC_PRECISION)
-            s = s + d * (g_d + d * g_d2)
+            @pl.when(k < k_lim[st])
+            def _(st=st, r0=r0, rs=rs):
+                f = buf[slot]
+                log_r = carr_ref[rs, 0:1]              # over chunks > k
+                suffix_u = carr_ref[rs, 1:2]
+                alpha, ex = _alpha_chunk(f, px[rs], py[rs], n - k * G)
+                lg = jnp.log1p(-alpha)
+                suf_incl = _suffix_incl_lanes(lg, lt)  # sum_{j>=g in chunk}
+                v = jnp.exp(logt_final[rs] - suf_incl - log_r)
+                w = alpha * v
+                d, dex = _depth_chunk(f, px[rs], py[rs], cam, depth_mode)
+                fsub = f[PF.F_NORMAL:PF.F_NORMAL + c_acc, :]
+                s = jax.lax.dot_general(g_acc[rs], fsub,
+                                        (((1,), (0,)), ((), ())),
+                                        preferred_element_type=jnp.float32,
+                                        precision=ACC_PRECISION)
+                s = s + d * (g_d[rs] + d * g_d2[rs])
 
-            u = w * s
-            u_suf_incl = _suffix_incl_lanes(u, lt)
-            suffix = (u_suf_incl - u) + suffix_u       # sum over later entries
+                u = w * s
+                u_suf_incl = _suffix_incl_lanes(u, lt)
+                suffix = (u_suf_incl - u) + suffix_u   # sum over later entries
 
-            dalpha = v * s - (suffix + tb) / (1.0 - alpha)
-            dalpha = jnp.where(ex["live"], dalpha, 0.0)
-            dpw = jnp.where(ex["capped"], 0.0, dalpha * alpha)   # d power
+                dalpha = v * s - (suffix + tb[rs]) / (1.0 - alpha)
+                dalpha = jnp.where(ex["live"], dalpha, 0.0)
+                dpw = jnp.where(ex["capped"], 0.0, dalpha * alpha)  # d power
 
-            # ---- reduce to per-entry rows (1, G) ----
-            gxa = ex["A"] * ex["dx"] + ex["B"] * ex["dy"]
-            gya = ex["C"] * ex["dy"] + ex["B"] * ex["dx"]
-            g_meanx = jnp.sum(dpw * gxa, axis=0, keepdims=True)
-            g_meany = jnp.sum(dpw * gya, axis=0, keepdims=True)
-            g_absx = jnp.sum(jnp.abs(dpw * gxa), axis=0, keepdims=True)
-            g_absy = jnp.sum(jnp.abs(dpw * gya), axis=0, keepdims=True)
-            g_ca = jnp.sum(dpw * (-0.5) * ex["dx"] * ex["dx"], axis=0,
-                           keepdims=True)
-            g_cb = jnp.sum(dpw * (-1.0) * ex["dx"] * ex["dy"], axis=0,
-                           keepdims=True)
-            g_cc = jnp.sum(dpw * (-0.5) * ex["dy"] * ex["dy"], axis=0,
-                           keepdims=True)
-            op_safe = jnp.maximum(ex["op"], 1e-12)
-            g_op = jnp.sum(jnp.where(ex["capped"], 0.0, dalpha * alpha),
-                           axis=0, keepdims=True) / op_safe
+                # ---- reduce to per-entry rows (1, G) ----
+                gxa = ex["A"] * ex["dx"] + ex["B"] * ex["dy"]
+                gya = ex["C"] * ex["dy"] + ex["B"] * ex["dx"]
+                g_meanx = jnp.sum(dpw * gxa, axis=0, keepdims=True)
+                g_meany = jnp.sum(dpw * gya, axis=0, keepdims=True)
+                g_absx = jnp.sum(jnp.abs(dpw * gxa), axis=0, keepdims=True)
+                g_absy = jnp.sum(jnp.abs(dpw * gya), axis=0, keepdims=True)
+                g_ca = jnp.sum(dpw * (-0.5) * ex["dx"] * ex["dx"], axis=0,
+                               keepdims=True)
+                g_cb = jnp.sum(dpw * (-1.0) * ex["dx"] * ex["dy"], axis=0,
+                               keepdims=True)
+                g_cc = jnp.sum(dpw * (-0.5) * ex["dy"] * ex["dy"], axis=0,
+                               keepdims=True)
+                op_safe = jnp.maximum(ex["op"], 1e-12)
+                g_op = jnp.sum(jnp.where(ex["capped"], 0.0, dalpha * alpha),
+                               axis=0, keepdims=True) / op_safe
 
-            # feature grads (c_acc, G): sum_p w * g_acc
-            gfeat_acc = jax.lax.dot_general(
-                g_acc, w, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=ACC_PRECISION)               # (c_acc, G)
+                # feature grads (c_acc, G): sum_p w * g_acc
+                gfeat_acc = jax.lax.dot_general(
+                    g_acc[rs], w, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=ACC_PRECISION)           # (c_acc, G)
 
-            # depth grads
-            gd_pg = w * (g_d + 2.0 * d * g_d2)         # (P,G)
-            if depth_mode == "traditional":
-                g_z = jnp.sum(gd_pg, axis=0, keepdims=True)
-                g_pd = jnp.zeros((1, G), jnp.float32)
-                g_n = jnp.zeros((3, G), jnp.float32)
-            else:
-                denom = dex["denom"]
-                inv_den = 1.0 / denom
-                g_pd = jnp.sum(gd_pg * inv_den, axis=0, keepdims=True)
-                # where the |ray.normal| >= 1e-2 clamp was active the
-                # denominator is a constant: no gradient flows to the normal
-                # (matches autodiff of the clamp; an unguarded 1/denom^2
-                # would amplify by up to 1e4)
-                coef = jnp.where(
-                    dex["clamped"], 0.0,
-                    gd_pg * (-f[PF.F_PLANE_D:PF.F_PLANE_D + 1, :])
-                    * inv_den * inv_den)
-                g_n = jnp.concatenate(
-                    [jnp.sum(coef * dex["dirx"], axis=0, keepdims=True),
-                     jnp.sum(coef * dex["diry"], axis=0, keepdims=True),
-                     jnp.sum(coef * dex["dirz"], axis=0, keepdims=True)],
-                    axis=0)
-                g_z = jnp.zeros((1, G), jnp.float32)
+                # depth grads
+                gd_pg = w * (g_d[rs] + 2.0 * d * g_d2[rs])   # (sp,G)
+                if depth_mode == "traditional":
+                    g_z = jnp.sum(gd_pg, axis=0, keepdims=True)
+                    g_pd = jnp.zeros((1, G), jnp.float32)
+                    g_n = jnp.zeros((3, G), jnp.float32)
+                else:
+                    denom = dex["denom"]
+                    inv_den = 1.0 / denom
+                    g_pd = jnp.sum(gd_pg * inv_den, axis=0, keepdims=True)
+                    # where the |ray.normal| >= 1e-2 clamp was active the
+                    # denominator is a constant: no gradient flows to the
+                    # normal (matches autodiff of the clamp; an unguarded
+                    # 1/denom^2 would amplify by up to 1e4)
+                    coef = jnp.where(
+                        dex["clamped"], 0.0,
+                        gd_pg * (-f[PF.F_PLANE_D:PF.F_PLANE_D + 1, :])
+                        * inv_den * inv_den)
+                    g_n = jnp.concatenate(
+                        [jnp.sum(coef * dex["dirx"], axis=0, keepdims=True),
+                         jnp.sum(coef * dex["diry"], axis=0, keepdims=True),
+                         jnp.sum(coef * dex["dirz"], axis=0, keepdims=True)],
+                        axis=0)
+                    g_z = jnp.zeros((1, G), jnp.float32)
 
-            # rows 0..7: fixed geometry grads (packed feature order);
-            # rows 8..8+c_acc: composited-feature grads (normal, rgb, sem),
-            # the normal rows also receiving the intersection-depth term;
-            # rows nfeat+0/1: |d mean2d| densification stats; zero padding.
-            if depth_mode != "traditional":
-                gmid = jnp.concatenate([gfeat_acc[:3] + g_n, gfeat_acc[3:]],
-                                       axis=0)
-            else:
-                gmid = gfeat_acc
-            rows = [g_meanx, g_meany, g_ca, g_cb, g_cc, g_op, g_z, g_pd,
-                    gmid, g_absx, g_absy]
-            n_pad = grows - (nfeat + N_EXTRA_GRAD)
-            if n_pad:
-                rows.append(jnp.zeros((n_pad, G), jnp.float32))
-            gchunk = jnp.concatenate(rows, axis=0)
-            gbuf[wslot] = gchunk
-            carr_ref[:] = jnp.concatenate(
-                [log_r + suf_incl[:, 0:1], suffix_u + u_suf_incl[:, 0:1]],
-                axis=1)
+                # rows 0..7: fixed geometry grads (packed feature order);
+                # rows 8..8+c_acc: composited-feature grads (normal, rgb,
+                # sem), the normal rows also receiving the intersection-
+                # depth term; rows nfeat+0/1: |d mean2d| densification
+                # stats; zero padding.
+                if depth_mode != "traditional":
+                    gmid = jnp.concatenate([gfeat_acc[:3] + g_n,
+                                            gfeat_acc[3:]], axis=0)
+                else:
+                    gmid = gfeat_acc
+                rows = [g_meanx, g_meany, g_ca, g_cb, g_cc, g_op, g_z, g_pd,
+                        gmid, g_absx, g_absy]
+                n_pad = grows - (nfeat + N_EXTRA_GRAD)
+                if n_pad:
+                    rows.append(jnp.zeros((n_pad, G), jnp.float32))
+                gbuf[wslot] = gbuf[wslot] + jnp.concatenate(rows, axis=0)
+                carr_ref[rs, :] = jnp.concatenate(
+                    [log_r + suf_incl[:, 0:1], suffix_u + u_suf_incl[:, 0:1]],
+                    axis=1)
 
         pltpu.make_async_copy(
             gbuf.at[wslot], gfeat_ref.at[:, pl.ds(start + k * G, G)],

@@ -482,6 +482,40 @@ class _CamArraysView:
         return (c.arrays() for c in self._cams)
 
 
+class _DeviceCamCache:
+    """Byte-capped LRU of device-resident COMPACT camera pytrees
+    (Camera.compact_arrays). The training loop's camera staging decodes
+    these ON DEVICE (cameras.decode_arrays) instead of re-decoding and
+    re-uploading ~60 MB of f32 stacks per camera per step through the
+    host link — at 1600x1200 that upload dominated the whole step (the
+    r4 trainpop rehearsal ran 0.15 it/s host-bound vs a ~10x faster
+    chip-bound step). The reference sidesteps this class of cost by
+    keeping every tensor CUDA-resident from load (scene/cameras.py:35-46,
+    data_device); a DTU-protocol scene (64 cams) is ~1.5 GB compact —
+    within cap for one v5e's 16 GB alongside the model."""
+
+    def __init__(self, cameras, cap_bytes: int):
+        import collections
+        self._cams = cameras
+        self._cap = cap_bytes
+        self._store = collections.OrderedDict()   # idx -> (nbytes, pytree)
+        self._bytes = 0
+
+    def get(self, i: int):
+        if i in self._store:
+            self._store.move_to_end(i)
+            return self._store[i][1]
+        compact = self._cams[i].compact_arrays()
+        nb = sum(int(x.nbytes) for x in jax.tree.leaves(compact))
+        dev = jax.device_put(compact)
+        while self._store and self._bytes + nb > self._cap:
+            _, (b, _old) = self._store.popitem(last=False)
+            self._bytes -= b
+        self._store[i] = (nb, dev)
+        self._bytes += nb
+        return dev
+
+
 class Trainer:
     """Host-side orchestration (reference Trainer, trainer.py:42-210)."""
 
@@ -602,6 +636,13 @@ class Trainer:
         # the compact/lazy host storage instead of caching a second
         # whole-scene f32 copy (reference data_device analog, SURVEY §7.3#7)
         self._cam_arrays = _CamArraysView(info.train_cameras)
+        # device-resident compact camera cache (tpu.cam_cache_mb, 0 = off):
+        # staging decodes on device instead of uploading f32 stacks per step
+        cache_mb = int(cfg.tpu.get("cam_cache_mb", 2048))
+        self._cam_cache = (_DeviceCamCache(info.train_cameras,
+                                           cache_mb << 20)
+                           if cache_mb > 0 else None)
+        self._decode_fns = {}         # k -> jitted stack+decode
 
         os.makedirs(cfg.logdir, exist_ok=True)
         # run metadata the downstream stages reload (scene/__init__.py:61-73)
@@ -685,13 +726,21 @@ class Trainer:
         image upload overlaps the previous step on device."""
         if self._prefetched is None:
             idx = self._next_camera_index()
-            self._prefetched = jax.device_put(self._cam_arrays[idx])
+            self._prefetched = self._fetch_one(idx)
             self._prefetched_idx = idx
         cam = self._prefetched
         idx = self._next_camera_index()
-        self._prefetched = jax.device_put(self._cam_arrays[idx])
+        self._prefetched = self._fetch_one(idx)
         self._prefetched_idx = idx
         return cam
+
+    def _fetch_one(self, idx: int):
+        """One camera as a device f32 pytree — decoded on device from the
+        compact cache when enabled, else host-decoded + uploaded."""
+        if self._cam_cache is not None:
+            return self._decode_stack(1, [self._cam_cache.get(idx)],
+                                      stacked=False)
+        return jax.device_put(self._cam_arrays[idx])
 
     # -- main loop ----------------------------------------------------------
 
@@ -767,11 +816,33 @@ class Trainer:
         return (self._gates(it + 1) == self._gates(it + k)
                 and self._sh_degree(it + 1) == self._sh_degree(it + k))
 
+    def _decode_stack(self, k: int, cams, stacked: bool = True):
+        """Jitted device-side stack+decode of k compact camera pytrees
+        (zero host->device traffic when they're cache-resident).
+        ``stacked=False`` (k==1) returns the bare pytree for the
+        single-step path."""
+        key = (k, stacked)
+        if key not in self._decode_fns:
+            from ..data.cameras import decode_arrays
+
+            def _fn(*cs):
+                dec = [decode_arrays(c) for c in cs]
+                if not stacked:
+                    return dec[0]
+                return jax.tree.map(lambda *xs: jnp.stack(xs), *dec)
+            self._decode_fns[key] = jax.jit(_fn)
+        return self._decode_fns[key](*cams)
+
     def _stage_camera_stack(self, k: int):
-        """Sample + stack + device_put the next k cameras (one async
-        transfer, issued while the current superstep computes on device)."""
+        """Sample + stack + decode the next k cameras. With the device
+        cache, resident compact copies are stacked+decoded ON DEVICE (no
+        per-step upload); otherwise one async host transfer, issued while
+        the current superstep computes on device."""
         from ..parallel import dp
         idxs = [self._next_camera_index() for _ in range(k)]
+        if self._cam_cache is not None:
+            return idxs, self._decode_stack(
+                k, [self._cam_cache.get(i) for i in idxs])
         stack = dp.stack_cameras([self._cam_arrays[i] for i in idxs])
         return idxs, jax.device_put(stack)
 
