@@ -116,6 +116,7 @@ def main():
         cap = max(cap, 1 << (n_gauss - 1).bit_length())
         state = ply_io.load_gaussian_ply(ply, capacity=cap, max_sh_degree=3)
         K.set_tile(int(tcfg.tpu.get("tile", P["tile"])))
+        K.set_chunk(int(tcfg.tpu.get("chunk", 256)))
         info = load_scene_info(tcfg.model.source_path,
                                resolution=tcfg.model.resolution)
         c0 = info.train_cameras[0]

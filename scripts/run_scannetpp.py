@@ -96,8 +96,20 @@ def train_scenes_in_process(jobs, iterations, n_devices, overrides):
         return fn
 
     devs = jax.devices()[:n_devices]
+    # The rasterizer tile/chunk knobs (rasterize_tpu.set_tile/set_chunk)
+    # are PROCESS-GLOBAL and clear trace caches when changed; concurrent
+    # Trainers are safe only because every in-process scene shares one
+    # config (the setters early-return on equal values). Pin the knobs
+    # once here, before any trainer thread races, and reject heterogeneous
+    # per-scene kernel knobs up front.
+    from vcr_gaus_tpu.ops import rasterize_tpu as _K
+    shared = Config(os.path.join(REPO, "configs/scannetpp/base.yaml"),
+                    overrides=list(overrides))
+    _K.set_tile(int(shared.tpu.get("tile", 16)))
+    _K.set_chunk(int(shared.tpu.get("chunk", 256)))
     print(f"in-process scene-DP over {len(devs)} devices: "
-          f"{[d.id for d in devs]}", flush=True)
+          f"{[d.id for d in devs]} (kernel knobs pinned: tile={_K.TILE} "
+          f"chunk={_K.G}, process-global)", flush=True)
     oks = dp.scene_dispatch([make(*j) for j in jobs], devices=devs,
                             parallel=True)
     return {j[0]: ok for j, ok in zip(jobs, oks)}

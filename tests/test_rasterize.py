@@ -562,12 +562,13 @@ def test_chunk_512_matches_chunk_256():
         (l, out), grad = jax.value_and_grad(loss, has_aux=True)(feats)
         return np.asarray(out), np.asarray(grad)
 
+    saved_g = K.G
     try:
         out256, g256 = run(256)
         out512, g512 = run(512)
         out128, g128 = run(128)
     finally:
-        K.set_chunk(256)
+        K.set_chunk(saved_g)
     scale = max(np.abs(g256).max(), 1e-8)
     np.testing.assert_allclose(out512, out256, atol=1e-5, rtol=1e-5)
     np.testing.assert_allclose(g512, g256, atol=1e-5 * scale, rtol=1e-4)
@@ -657,13 +658,14 @@ def test_strip_termination_semantics_and_fires():
         return np.asarray(out), np.asarray(grad), kcol, int(
             np.ceil(int(binn.tile_counts[0]) / K.G))
 
+    saved_rows = K.STRIP_ROWS
     try:
         # 64-row strips: 4 consensus strips at TILE=16 (the default 128
         # gives only 2, which the <4-strips gate reverts to tile-wide)
         out_s, g_s, k_s, nch = run(64)
         out_t, g_t, k_t, _ = run(0)
     finally:
-        K.set_strip_rows(128)
+        K.set_strip_rows(saved_rows)
 
     assert nch >= 2, "scene must span multiple chunks in tile 0"
     # (a) termination fired per strip: top strip stopped before the bottom

@@ -500,6 +500,7 @@ class _DeviceCamCache:
         self._cap = cap_bytes
         self._store = collections.OrderedDict()   # idx -> (nbytes, pytree)
         self._bytes = 0
+        self._warned_oversize = False
 
     def get(self, i: int):
         if i in self._store:
@@ -508,6 +509,16 @@ class _DeviceCamCache:
         compact = self._cams[i].compact_arrays()
         nb = sum(int(x.nbytes) for x in jax.tree.leaves(compact))
         dev = jax.device_put(compact)
+        if nb > self._cap:
+            # one camera alone exceeds the byte cap: caching it would pin
+            # the cache permanently over budget (eviction empties the store
+            # and inserts anyway) — hand back the staged copy uncached
+            if not self._warned_oversize:
+                self._warned_oversize = True
+                print(f"[cam-cache] camera {i} is {nb/2**20:.0f} MiB > cap "
+                      f"{self._cap/2**20:.0f} MiB; staging uncached "
+                      "(raise tpu.cam_cache_mb to cache)", flush=True)
+            return dev
         while self._store and self._bytes + nb > self._cap:
             _, (b, _old) = self._store.popitem(last=False)
             self._bytes -= b
