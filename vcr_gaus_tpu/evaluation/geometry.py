@@ -25,26 +25,43 @@ from scipy.spatial import cKDTree
 
 def sample_points_on_mesh(verts: np.ndarray, faces: np.ndarray,
                           density_thresh: float, seed: int = 0) -> np.ndarray:
-    """Sample points on triangles so the expected spacing is ~density_thresh
-    (eval_dtu/eval.py:10-34: n_per_tri = ceil(area / (thresh^2/2)), uniform
-    barycentric samples), plus the vertices themselves."""
-    rng = np.random.default_rng(seed)
-    v0, v1, v2 = (verts[faces[:, i]] for i in range(3))
-    cross = np.cross(v1 - v0, v2 - v0)
-    area = 0.5 * np.linalg.norm(cross, axis=1)
-    per_tri = np.ceil(area / (density_thresh ** 2 / 2.0)).astype(int)
-    per_tri = np.clip(per_tri, 0, 10_000)
-    total = int(per_tri.sum())
-    if total == 0:
+    """Reference-exact deterministic barycentric-grid sampling
+    (eval_dtu/eval.py:10-19,55-68, the DTUeval-python scheme): per triangle
+    with edge vectors v1 = B-A, v2 = C-A (lengths l1, l2, parallelogram
+    area area2 = |v1 x v2|), grid pitch thr = thresh * sqrt(l1*l2/area2);
+    the (n1+1)x(n2+1) cell-center grid (u, v) = ((i+.5)/n1, (j+.5)/n2)
+    with n1 = floor(l1/thr), n2 = floor(l2/thr) keeps u+v < 1 and emits
+    q = A + u*v1 + v*v2 (~area/thresh^2 samples per triangle; a triangle
+    with an edge shorter than thr gets no interior samples — n=0 maps to
+    u = 0.5/1e-7, dropped by the u+v < 1 cut, exactly as upstream).
+    Zero-area triangles are filtered first (eval.py:60-63). The mesh
+    vertices themselves are always included. ``seed`` is accepted for
+    call-site compatibility; the grid is deterministic."""
+    A = verts[faces[:, 0]]
+    v1 = verts[faces[:, 1]] - A
+    v2 = verts[faces[:, 2]] - A
+    l1 = np.linalg.norm(v1, axis=1)
+    l2 = np.linalg.norm(v2, axis=1)
+    area2 = np.linalg.norm(np.cross(v1, v2), axis=1)
+    nz = area2 > 0
+    A, v1, v2, l1, l2, area2 = (x[nz] for x in (A, v1, v2, l1, l2, area2))
+    if len(A) == 0:
         return verts.copy()
-    tri_idx = np.repeat(np.arange(len(faces)), per_tri)
-    u = rng.random(total)
-    v = rng.random(total)
-    flip = (u + v) > 1
-    u[flip] = 1 - u[flip]
-    v[flip] = 1 - v[flip]
-    pts = (v0[tri_idx] + u[:, None] * (v1 - v0)[tri_idx]
-           + v[:, None] * (v2 - v0)[tri_idx])
+    thr = density_thresh * np.sqrt(l1 * l2 / area2)
+    n1 = np.floor(l1 / thr)
+    n2 = np.floor(l2 / thr)
+    counts = ((n1 + 1) * (n2 + 1)).astype(np.int64)
+    tri = np.repeat(np.arange(len(A)), counts)
+    starts = np.cumsum(counts) - counts
+    local = np.arange(int(counts.sum()), dtype=np.int64) - starts[tri]
+    cols = (n2[tri] + 1).astype(np.int64)
+    i = local // cols
+    j = local - i * cols
+    u = (i + 0.5) / np.maximum(n1[tri], 1e-7)
+    v = (j + 0.5) / np.maximum(n2[tri], 1e-7)
+    keep = (u + v) < 1
+    tri, u, v = tri[keep], u[keep], v[keep]
+    pts = A[tri] + u[:, None] * v1[tri] + v[:, None] * v2[tri]
     return np.concatenate([verts, pts], axis=0)
 
 
