@@ -462,6 +462,45 @@ def make_dp_train_step(cfg, rcfg: RenderConfig, weights: dict,
     return train_step
 
 
+class _StageProf:
+    """Wall-clock stage accounting for the real training loop (r4 VERDICT
+    weak #4: the rehearsal ran ~10x below the bench step at the same shape
+    with no stage split). Buckets accumulate seconds + entry counts via two
+    perf_counter calls per entry — cheap enough to stay always-on. The key
+    distinction it surfaces: `dispatch` is the ASYNC superstep enqueue
+    (should be ~0), while `sync_*` buckets are device->host fetches that
+    drain the whole pipeline (each one costs a full tunnel round-trip plus
+    every queued superstep's compute)."""
+
+    def __init__(self):
+        import collections
+        self.t = collections.defaultdict(float)
+        self.n = collections.defaultdict(int)
+        self._t0 = time.perf_counter()
+
+    def __call__(self, name):
+        import contextlib
+
+        @contextlib.contextmanager
+        def _cm():
+            t0 = time.perf_counter()
+            try:
+                yield
+            finally:
+                self.t[name] += time.perf_counter() - t0
+                self.n[name] += 1
+        return _cm()
+
+    def summary(self) -> dict:
+        total = time.perf_counter() - self._t0
+        tracked = sum(self.t.values())
+        out = {k: {"s": round(v, 2), "n": self.n[k]}
+               for k, v in sorted(self.t.items(), key=lambda kv: -kv[1])}
+        out["_total_wall_s"] = round(total, 2)
+        out["_untracked_s"] = round(total - tracked, 2)
+        return out
+
+
 class _CamArraysView:
     """Sequence of CameraArrays built on demand from host Cameras: every
     index/iteration converts the compact (u8/f16) or lazily-decoded storage
@@ -667,6 +706,7 @@ class Trainer:
         write_cfg_args(cfg, cfg.logdir)
 
         self.test_history: list[dict] = []
+        self._prof = _StageProf()
         self._prefetched = None
         self._bin_aux = None
         self._bin_aux_k = None
@@ -879,11 +919,12 @@ class Trainer:
                 self.viewpoint_stack.append(self._prefetched_idx)
             self._prefetched = None
             self._prefetched_idx = None
-        if self._staged is None:
-            self._staged = self._stage_camera_stack(k)
-        _, cams = self._staged
-        self._staged = self._stage_camera_stack(k)   # next superstep's batch
-        _, next_cams = self._staged                  # = this one's lookahead
+        with self._prof("stage_cams"):
+            if self._staged is None:
+                self._staged = self._stage_camera_stack(k)
+            _, cams = self._staged
+            self._staged = self._stage_camera_stack(k)  # next superstep's
+            _, next_cams = self._staged               # = this one's lookahead
         o = self.cfg.optim
         if o.random_background:
             bgs = np.stack([np.random.default_rng(j).random(3).astype(
@@ -892,10 +933,12 @@ class Trainer:
             bgs = np.broadcast_to(self.bg, (k, 3)).astype(np.float32)
         lrs = np.asarray([self._lr_xyz(j) for j in iters], np.float32)
         self.iteration = it0 + k
-        self.state, self.net, losses, aux = self._multi_step_fn(
-            self.state, self.net, cams, jnp.asarray(bgs), jnp.asarray(lrs),
-            sh_degree=self._sh_degree(it0 + 1), gates=self._gates(it0 + 1),
-            bin_aux=self._bin_aux_k, next_cams=next_cams)
+        with self._prof("dispatch"):
+            self.state, self.net, losses, aux = self._multi_step_fn(
+                self.state, self.net, cams, jnp.asarray(bgs),
+                jnp.asarray(lrs), sh_degree=self._sh_degree(it0 + 1),
+                gates=self._gates(it0 + 1), bin_aux=self._bin_aux_k,
+                next_cams=next_cams)
         self._bin_aux_k = aux.pop("next_bin_aux")
         self._accumulate_overflow(aux)
         self._maybe_react_overflow()
@@ -917,11 +960,12 @@ class Trainer:
             idxs, _ = self._prefetched
             self.viewpoint_stack.extend(idxs)
             self._prefetched = None
-        if self._staged is None:
-            self._staged = self._stage_dp_camera_stack(s)
-        _, cams = self._staged
-        self._staged = self._stage_dp_camera_stack(s)  # next superstep's
-        _, next_cams = self._staged                    # = this lookahead
+        with self._prof("stage_cams"):
+            if self._staged is None:
+                self._staged = self._stage_dp_camera_stack(s)
+            _, cams = self._staged
+            self._staged = self._stage_dp_camera_stack(s)  # next superstep
+            _, next_cams = self._staged                  # = this lookahead
         o = self.cfg.optim
         if o.random_background:
             bgs = np.stack([np.random.default_rng(j).random(3).astype(
@@ -930,10 +974,12 @@ class Trainer:
             bgs = np.broadcast_to(self.bg, (s, 3)).astype(np.float32)
         lrs = np.asarray([self._lr_xyz(j) for j in iters], np.float32)
         self.iteration = it0 + s
-        self.state, self.net, losses, aux = self._step_fn.multi(
-            self.state, self.net, cams, jnp.asarray(bgs), jnp.asarray(lrs),
-            sh_degree=self._sh_degree(it0 + 1), gates=self._gates(it0 + 1),
-            bin_aux=self._bin_aux_k, next_cams=next_cams)
+        with self._prof("dispatch"):
+            self.state, self.net, losses, aux = self._step_fn.multi(
+                self.state, self.net, cams, jnp.asarray(bgs),
+                jnp.asarray(lrs), sh_degree=self._sh_degree(it0 + 1),
+                gates=self._gates(it0 + 1), bin_aux=self._bin_aux_k,
+                next_cams=next_cams)
         self._bin_aux_k = aux.pop("next_bin_aux")
         self._accumulate_overflow(aux)
         self._maybe_react_overflow()
@@ -979,20 +1025,23 @@ class Trainer:
             # camera prefetch + per-chip binning lookahead in the DP path
             # too (round-1 gap: DP steps paid the in-program sort->gather
             # penalty and had no transfer overlap)
-            if self._prefetched is None:
+            with self._prof("stage_cams"):
+                if self._prefetched is None:
+                    self._prefetched = self._stage_dp_batch()
+                _, cam = self._prefetched
                 self._prefetched = self._stage_dp_batch()
-            _, cam = self._prefetched
-            self._prefetched = self._stage_dp_batch()
-            _, next_cam = self._prefetched
+                _, next_cam = self._prefetched
         else:
-            cam = self._pick_camera()
+            with self._prof("stage_cams"):
+                cam = self._pick_camera()
             next_cam = self._prefetched      # the lookahead target
         bg = (np.random.default_rng(self.iteration).random(3).astype(
             np.float32) if self.cfg.optim.random_background else self.bg)
-        self.state, self.net, losses, aux = self._step_fn(
-            self.state, self.net, cam, jnp.asarray(bg), self._lr_xyz(),
-            sh_degree=self._sh_degree(), gates=self._gates(),
-            bin_aux=self._bin_aux, next_cam=next_cam)
+        with self._prof("dispatch_single"):
+            self.state, self.net, losses, aux = self._step_fn(
+                self.state, self.net, cam, jnp.asarray(bg), self._lr_xyz(),
+                sh_degree=self._sh_degree(), gates=self._gates(),
+                bin_aux=self._bin_aux, next_cam=next_cam)
         # binning lookahead for the next step; invalidated below by any
         # host-side geometry/shape mutation (densify, prune, capacity or
         # entry-budget growth) — opacity resets and SH warmup keep it valid
@@ -1023,7 +1072,9 @@ class Trainer:
         if advance < interval:
             return
         self._last_fetch_iter = self.iteration
-        if bool(jnp.any(self._ovf_dev)):
+        with self._prof("sync_overflow_fetch"):
+            ovf = bool(jnp.any(self._ovf_dev))
+        if ovf:
             self._grow_entry_budget()
             self._invalidate_binning()
             # a fresh full window must pass before any shrink, so a
@@ -1039,8 +1090,9 @@ class Trainer:
             # run). Growth on overflow stays 2x; with >=1.25x headroom
             # over a full 200-step window's peak, oscillation requires
             # the scene's true entry demand to swing >25% per window
-            self._entries_peak = max(self._entries_peak,
-                                     int(jnp.max(self._ne_dev)))
+            with self._prof("sync_overflow_fetch"):
+                peak = int(jnp.max(self._ne_dev))
+            self._entries_peak = max(self._entries_peak, peak)
             self._entries_window += advance
             if self._entries_window >= 200:
                 q = 1 << 16
@@ -1054,6 +1106,10 @@ class Trainer:
         self._ne_dev = None
 
     def _post_step_actions(self):
+        with self._prof("host_actions"):
+            self._post_step_actions_inner()
+
+    def _post_step_actions_inner(self):
         o = self.cfg.optim
         it = self.iteration
         if it < o.densify_until_iter:
@@ -1078,45 +1134,55 @@ class Trainer:
         max_iters = max_iters or self.cfg.optim.iterations
         self._max_iters = int(max_iters)   # superstep window bound
         t0 = time.time()
+        self._prof = _StageProf()          # fresh stage accounting per run
         last_log = self.iteration
         while self.iteration < max_iters:
-            self._gui_pump()
+            with self._prof("gui"):
+                self._gui_pump()
             losses, aux = self.train_step()
             # distance-based boundary: a superstep may jump past an exact
             # `% log_every == 0` iteration
             if (self.iteration - last_log >= log_every
                     or self.iteration == max_iters):
                 last_log = self.iteration
-                rec = {k: float(v) for k, v in losses.items()}
-                rec.update(iter=self.iteration,
-                           n_active=int(aux["n_active"]),
-                           overflow=bool(aux["overflow"]),
-                           time=time.time() - t0)
-                self.history.append(rec)
-                self._log_scalars(rec)
-                # stdout progress (the reference's tqdm postfix,
-                # trainer.py:151): loss + live population
-                print(f"[{rec['iter']}/{max_iters}] "
-                      f"loss={rec.get('total', float('nan')):.4f} "
-                      f"n_active={rec['n_active']}"
-                      + (" OVERFLOW" if rec.get("overflow") else ""),
-                      flush=True)
+                with self._prof("sync_log_fetch"):
+                    rec = {k: float(v) for k, v in losses.items()}
+                    rec.update(iter=self.iteration,
+                               n_active=int(aux["n_active"]),
+                               overflow=bool(aux["overflow"]),
+                               time=time.time() - t0)
+                with self._prof("log_write"):
+                    self.history.append(rec)
+                    self._log_scalars(rec)
+                    # stdout progress (the reference's tqdm postfix,
+                    # trainer.py:151): loss + live population
+                    print(f"[{rec['iter']}/{max_iters}] "
+                          f"loss={rec.get('total', float('nan')):.4f} "
+                          f"n_active={rec['n_active']}"
+                          + (" OVERFLOW" if rec.get("overflow") else ""),
+                          flush=True)
             # the final configured iteration is an implicit member of every
             # trigger list (reference `or current_iteration == max_iters`,
             # trainer.py:508,425,428)
             final = self.iteration == int(self.cfg.optim.iterations)
             if final or self.iteration in list(
                     self.cfg.train.test_iterations):
-                self.run_test()
+                with self._prof("test_sweeps"):
+                    self.run_test()
             if final or self.iteration in list(
                     self.cfg.train.save_iterations):
-                self.save()
+                with self._prof("save"):
+                    self.save()
             if self.iteration in list(self.cfg.train.checkpoint_iterations):
-                self.save_checkpoint()
+                with self._prof("save"):
+                    self.save_checkpoint()
             if final and list(self.cfg.optim.prune.iterations):
                 # final per-Gaussian importance dump (imp_score.npz,
                 # reference trainer.py:432-436)
-                self.save_importance()
+                with self._prof("save"):
+                    self.save_importance()
+        prof = self._prof.summary()
+        print("[prof] " + json.dumps(prof), flush=True)
         return self.history
 
     def finalize(self):
