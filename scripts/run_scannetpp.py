@@ -35,6 +35,7 @@ import json
 import os
 import subprocess
 import sys
+import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
@@ -110,8 +111,11 @@ def train_scenes_in_process(jobs, iterations, n_devices, overrides):
     print(f"in-process scene-DP over {len(devs)} devices: "
           f"{[d.id for d in devs]} (kernel knobs pinned: tile={_K.TILE} "
           f"chunk={_K.G}, process-global)", flush=True)
+    t0 = time.time()
     oks = dp.scene_dispatch([make(*j) for j in jobs], devices=devs,
                             parallel=True)
+    print(f"in-process train phase: {len(jobs)} scenes in "
+          f"{time.time() - t0:.1f}s", flush=True)
     return {j[0]: ok for j, ok in zip(jobs, oks)}
 
 

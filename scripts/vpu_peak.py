@@ -1,0 +1,126 @@
+#!/usr/bin/env python
+"""Pin the v5e VPU peak by measurement (VERDICT r4 next #7): the roofline's
+"~3.9 TF f32 VPU (estimate)" is the shakiest number in the §7.3 kernel-pair
+verdict. Three microbenchmarks, each a lax.fori_loop chain on a VPU-shaped
+f32 array, timed through the tunnel with an in-graph scalar reduction
+(the only honest fence on this backend):
+
+  fma    — x = x*a + b          (2 flop/elem/iter: the VPU's nominal unit)
+  exp    — x = exp(x)*c         (transcendental rate, elem/s)
+  select — x = where(x>t, x*a, x*b)  (compare+select+mul rate, elem/s)
+  alpha  — the rasterizer's alpha-eval block at kernel shape (P,G):
+           power = -(A dx^2 + C dy^2)/2 - B dx dy; alpha = op*exp(power);
+           masked select — the §7.3 VPU-bound candidate, measured end to end
+
+  env PYTHONPATH="/root/repo:/root/.axon_site" python -u scripts/vpu_peak.py
+"""
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import numpy as np
+
+SHAPE = (64, 64 * 1024)       # 4M f32 = 16 MB: VMEM-resident per block
+K = 512                       # chain length per timed call
+REPS = 5
+
+
+def timed(fn, *args):
+    fn(*args).block_until_ready if False else None
+    out = float(fn(*args))            # warmup + compile
+    best = float("inf")
+    for _ in range(REPS):
+        t0 = time.time()
+        out = float(fn(*args))
+        best = min(best, time.time() - t0)
+    return best, out
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from vcr_gaus_tpu.utils.compile_cache import enable_compilation_cache
+    enable_compilation_cache()
+    n = SHAPE[0] * SHAPE[1]
+    x0 = jnp.asarray(np.random.default_rng(0).uniform(
+        0.1, 0.9, SHAPE).astype(np.float32))
+    res = {"shape": list(SHAPE), "chain": K, "date": "2026-08-20"}
+
+    @jax.jit
+    def fma(x):
+        def body(i, x):
+            return x * np.float32(0.999) + np.float32(1e-4)
+        return jnp.sum(jax.lax.fori_loop(0, K, body, x))
+
+    dt, _ = timed(fma, x0)
+    res["fma_tflops"] = round(2 * n * K / dt / 1e12, 3)
+    res["fma_dt_ms"] = round(dt * 1e3, 2)
+
+    @jax.jit
+    def expchain(x):
+        def body(i, x):
+            return jnp.exp(-x) + np.float32(0.05)
+        return jnp.sum(jax.lax.fori_loop(0, K, body, x))
+
+    dt, _ = timed(expchain, x0)
+    res["exp_gelem_s"] = round(n * K / dt / 1e9, 2)
+    res["exp_dt_ms"] = round(dt * 1e3, 2)
+
+    @jax.jit
+    def selchain(x):
+        def body(i, x):
+            return jnp.where(x > np.float32(0.5), x * np.float32(0.99),
+                             x * np.float32(1.01))
+        return jnp.sum(jax.lax.fori_loop(0, K, body, x))
+
+    dt, _ = timed(selchain, x0)
+    res["select_gelem_s"] = round(n * K / dt / 1e9, 2)
+    res["select_dt_ms"] = round(dt * 1e3, 2)
+
+    # the kernel's alpha block at its true shape: P=1024 (tile 32), G=256
+    P, G = 1024, 256
+    rng = np.random.default_rng(1)
+    px = jnp.asarray(rng.uniform(0, 32, (P, 1)).astype(np.float32))
+    py = jnp.asarray(rng.uniform(0, 32, (P, 1)).astype(np.float32))
+    mean_x = jnp.asarray(rng.uniform(0, 32, (1, G)).astype(np.float32))
+    mean_y = jnp.asarray(rng.uniform(0, 32, (1, G)).astype(np.float32))
+    A = jnp.asarray(rng.uniform(0.01, 0.2, (1, G)).astype(np.float32))
+    B = jnp.asarray(rng.uniform(-0.05, 0.05, (1, G)).astype(np.float32))
+    C = jnp.asarray(rng.uniform(0.01, 0.2, (1, G)).astype(np.float32))
+    op = jnp.asarray(rng.uniform(0.1, 1.0, (1, G)).astype(np.float32))
+
+    @jax.jit
+    def alpha_block(mx):
+        def body(i, mx):
+            dx = px - (mean_x + mx * np.float32(1e-6))
+            dy = py - mean_y
+            power = (np.float32(-0.5) * (A * dx * dx + C * dy * dy)
+                     - B * dx * dy)
+            a = op * jnp.exp(power)
+            a = jnp.where(power > 0, np.float32(0.0), a)
+            a = jnp.where(a < np.float32(1.0 / 255.0), np.float32(0.0),
+                          jnp.minimum(a, np.float32(0.99)))
+            return mx + jnp.sum(a) * np.float32(1e-12)
+        return jax.lax.fori_loop(0, K, body, np.float32(0.0))
+
+    dt, _ = timed(alpha_block, np.float32(0.0))
+    res["alpha_block_dt_us_per_PG"] = round(dt * 1e6 / K, 2)
+    res["alpha_block_gpair_s"] = round(P * G * K / dt / 1e9, 2)
+    # flop accounting for the block: dx,dy (2) + power (6) + exp(1) +
+    # mul (1) + 3 compares/selects (3) ~= 13 "ops"/pair
+    res["alpha_block_gops_s"] = round(13 * P * G * K / dt / 1e9, 1)
+
+    print(json.dumps(res))
+    with open(os.path.join(REPO, "artifacts_r05", "vpu_peak.json"),
+              "w") as f:
+        json.dump(res, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()
