@@ -70,10 +70,11 @@ def main():
         "g128": dict(acc=HI, tri=HI, chunk=128),
         "g384": dict(acc=HI, tri=HI, chunk=384),
         "g512": dict(acc=HI, tri=HI, chunk=512),
-        # termination-consensus granularity (base STRIP_ROWS=128): 0 =
-        # tile-wide consensus (the pre-r4 behavior). Run with
-        # --payload real — termination depends on actual opacities.
+        # termination-consensus granularity (base STRIP_ROWS=0 since the
+        # r5 A/B flipped the default — strips lost 5.7% end-to-end). Run
+        # with --payload real — termination depends on actual opacities.
         "strip0": dict(acc=HI, tri=HI, strip=0),
+        "strip128": dict(acc=HI, tri=HI, strip=128),
     }
     names = [v for v in args.variants.split(",") if v]
 

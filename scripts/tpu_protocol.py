@@ -49,39 +49,58 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--workdir", default="/tmp/vcr_protocol")
     ap.add_argument("--iters", type=int, default=7000)
+    ap.add_argument("--full30k", action="store_true",
+                    help="VERDICT r5 next #5: the UNSCALED reference "
+                         "schedule — 30k iters at 800x600, densify "
+                         "[500,15000] every 100, opacity reset x10, prune "
+                         "at 15k/25k, LR decay over the full tail "
+                         "(configs/config_base.yaml:40-76 + "
+                         "reconstruct.yaml:31-35 cadence at real iteration "
+                         "numbers)")
     args = ap.parse_args()
 
     scene = os.path.join(args.workdir, "scene")
     logdir = os.path.join(args.workdir, "run")
     shutil.rmtree(args.workdir, ignore_errors=True)
 
+    w, h = (800, 600) if args.full30k else (400, 300)
     from fixtures import write_colmap_scene
-    write_colmap_scene(scene, n_cams=16, n_pts=2000, width=400, height=300,
+    write_colmap_scene(scene, n_cams=16, n_pts=2000, width=w, height=h,
                        with_priors=True)
     print("scene written", flush=True)
 
     py = sys.executable
-    it = args.iters
+    it = 30000 if args.full30k else args.iters
+    if args.full30k:
+        sched = ["--optim.densify_from_iter=500",
+                 "--optim.densify_until_iter=15000",
+                 "--optim.densification_interval=100",
+                 "--optim.opacity_reset_interval=3000",
+                 "--optim.prune.iterations=[15000,25000]",
+                 "--tpu.capacity=131072",
+                 f"--train.test_iterations=[7000,{it}]"]
+    else:
+        # the reference cadence (config_base.yaml:40-63), window-scaled:
+        # densify 500 -> 4000 every 100, opacity reset every 3000 (fires
+        # at 3000), LightGaussian prune twice (the 15k/25k protocol rounds
+        # mapped into the run, reconstruct.yaml:31-35)
+        sched = ["--optim.densify_from_iter=500",
+                 "--optim.densify_until_iter=4000",
+                 "--optim.densification_interval=100",
+                 "--optim.opacity_reset_interval=3000",
+                 "--optim.prune.iterations=[4500,6000]",
+                 "--tpu.capacity=32768",
+                 f"--train.test_iterations=[3500,{it}]"]
     t0 = time.time()
     run([py, "train.py", "--config=configs/config_base.yaml",
          f"--model.source_path={scene}", f"--logdir={logdir}",
          "--model.depth_type=intersection",
          f"--optim.iterations={it}",
-         # the reference cadence (config_base.yaml:40-63), window-scaled:
-         # densify 500 -> 4000 every 100, opacity reset every 3000 (fires
-         # at 3000), LightGaussian prune twice (the 15k/25k protocol rounds
-         # mapped into the run, reconstruct.yaml:31-35)
-         "--optim.densify_from_iter=500",
-         "--optim.densify_until_iter=4000",
-         "--optim.densification_interval=100",
-         "--optim.opacity_reset_interval=3000",
-         "--optim.prune.iterations=[4500,6000]",
+         *sched,
          "--optim.loss_weight.mono_normal=0.01",
          "--optim.loss_weight.depth_normal=0.015",
-         "--tpu.capacity=32768",
          "--tpu.steps_per_call=10",
-         f"--train.save_iterations=[{it}]",
-         f"--train.test_iterations=[3500,{it}]"])
+         f"--train.save_iterations=[{it}]"])
     t_train = time.time() - t0
     ply = os.path.join(logdir, "point_cloud", f"iteration_{it}",
                        "point_cloud.ply")
@@ -123,7 +142,8 @@ def main():
     assert psnr > 20, f"eval PSNR too low: {psnr}"
 
     print(json.dumps({
-        "protocol": "dtu_quick_quarter_res",
+        "protocol": ("dtu_full_schedule_30k_half_res" if args.full30k
+                     else "dtu_quick_quarter_res"),
         "iters": it,
         "train_wall_s": round(t_train, 1),
         "iters_per_s_incl_actions": round(it / t_train, 2),

@@ -26,8 +26,21 @@ sys.path.insert(0, REPO)
 import numpy as np
 
 SHAPE = (64, 64 * 1024)       # 4M f32 = 16 MB: VMEM-resident per block
-K = 512                       # chain length per timed call
+K = 512                       # chain length (1-op-per-pass variant)
+K2 = 32                       # memory passes for the unrolled variants
 REPS = 5
+
+
+def _chain(x, u, op):
+    """K2 memory passes, each applying `u` fused elementwise ops."""
+    import jax
+    import jax.numpy as jnp
+
+    def body(i, x):
+        for _ in range(u):
+            x = op(x)
+        return x
+    return jnp.sum(jax.lax.fori_loop(0, K2, body, x))
 
 
 def timed(fn, *args):
@@ -52,36 +65,35 @@ def main():
         0.1, 0.9, SHAPE).astype(np.float32))
     res = {"shape": list(SHAPE), "chain": K, "date": "2026-08-20"}
 
-    @jax.jit
-    def fma(x):
-        def body(i, x):
-            return x * np.float32(0.999) + np.float32(1e-4)
-        return jnp.sum(jax.lax.fori_loop(0, K, body, x))
-
-    dt, _ = timed(fma, x0)
-    res["fma_tflops"] = round(2 * n * K / dt / 1e12, 3)
-    res["fma_dt_ms"] = round(dt * 1e3, 2)
-
-    @jax.jit
-    def expchain(x):
-        def body(i, x):
-            return jnp.exp(-x) + np.float32(0.05)
-        return jnp.sum(jax.lax.fori_loop(0, K, body, x))
-
-    dt, _ = timed(expchain, x0)
-    res["exp_gelem_s"] = round(n * K / dt / 1e9, 2)
-    res["exp_dt_ms"] = round(dt * 1e3, 2)
-
-    @jax.jit
-    def selchain(x):
-        def body(i, x):
-            return jnp.where(x > np.float32(0.5), x * np.float32(0.99),
-                             x * np.float32(1.01))
-        return jnp.sum(jax.lax.fori_loop(0, K, body, x))
-
-    dt, _ = timed(selchain, x0)
-    res["select_gelem_s"] = round(n * K / dt / 1e9, 2)
-    res["select_dt_ms"] = round(dt * 1e3, 2)
+    # The first cut of this benchmark ran ONE op per loop iteration and
+    # measured 650 GB/s for fma, exp and select alike — pure HBM bandwidth
+    # (each fori_loop iteration is one memory pass; artifacts_r05/
+    # chip_queue1.log). To expose the COMPUTE rate, fuse `u` ops per pass
+    # and watch the time grow past the memory floor: rate = ops that fit
+    # in the incremental time.
+    for name, mk in (
+        ("fma", lambda u: (lambda x: _chain(
+            x, u, lambda y: y * np.float32(0.999) + np.float32(1e-4)))),
+        ("exp", lambda u: (lambda x: _chain(
+            x, u, lambda y: jnp.exp(-y) + np.float32(0.05)))),
+        ("select", lambda u: (lambda x: _chain(
+            x, u, lambda y: jnp.where(y > np.float32(0.5),
+                                      y * np.float32(0.99),
+                                      y * np.float32(1.01))))),
+    ):
+        rows = {}
+        for u in (1, 8, 32, 128):
+            fn = jax.jit(mk(u))
+            dt, _ = timed(fn, x0)
+            rows[u] = dt
+        # incremental rate between the two largest unroll factors: the
+        # memory pass is a common additive term, so the slope is compute
+        d_ops = (128 - 32) * n * K2
+        d_t = rows[128] - rows[32]
+        res[f"{name}_gops_s"] = round(d_ops / max(d_t, 1e-9) / 1e9, 1)
+        res[f"{name}_dt_ms"] = {u: round(v * 1e3, 2)
+                                for u, v in rows.items()}
+    res["fma_tflops"] = round(res["fma_gops_s"] * 2 / 1e3, 3)  # 2 flop/fma
 
     # the kernel's alpha block at its true shape: P=1024 (tile 32), G=256
     P, G = 1024, 256

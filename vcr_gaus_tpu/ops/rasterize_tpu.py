@@ -79,11 +79,14 @@ T_EPS = 1e-4
 # gap) only keeps ITS strip compositing, not the whole tile. 128 = one
 # (sublane-aligned) vector-register row block = 4 image rows at tile 32;
 # finer than the CUDA fork's 256-pixel block consensus. 0 disables
-# (tile-wide consensus, the pre-r4 behavior). Measured headroom
-# (scripts/ab_term.py, synthetic protocol population): strip consensus
-# does 1.16x less pair-work than tile consensus; per-pixel (not
-# expressible in vector registers) would be 1.67x.
-STRIP_ROWS = int(os.environ.get("VCR_STRIP_ROWS", "128"))
+# (tile-wide consensus) and is the DEFAULT: the r5 interleaved protocol
+# A/B (artifacts_r05/ab_strip_chunk.json) measured strip 128 LOSING 5.7%
+# end-to-end at 1M/1600x1200 (per-strip guard overhead + the extra
+# accumulator traffic outweigh the 1.16x pair-work saving ab_term.py
+# predicted, and on trained populations tiles fit 1-2 chunks so there is
+# nothing to save), and dead-flat at the 800x600 dev shape. The machinery
+# stays for dense-regime experiments via VCR_STRIP_ROWS / set_strip_rows.
+STRIP_ROWS = int(os.environ.get("VCR_STRIP_ROWS", "0"))
 if STRIP_ROWS and (STRIP_ROWS % 8 or STRIP_ROWS < 0):
     raise ValueError(f"VCR_STRIP_ROWS={STRIP_ROWS} must be a multiple of 8")
 
