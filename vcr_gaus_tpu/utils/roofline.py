@@ -12,11 +12,14 @@ emulation and any padding/recompute overhead are intentionally excluded, so
 the reported utilization is the fraction of peak spent on useful math — the
 roofline number that is comparable across implementations.
 
-Peak constants (published TPU v5e per-chip specs; the VPU figure is derived
-from the architecture — 8x128 lanes x 4 ALUs x ~0.94 GHz — and labeled an
-estimate):
+Peak constants (published TPU v5e per-chip specs; the VPU figure is
+MEASURED on this chip — scripts/vpu_peak.py, 2026-08-20, fused-fma-chain
+incremental rate: 2213 G fma/s = 4.43 TF f32, within 15% of the prior
+8x128x4-ALU architectural estimate of 3.9. The same run pinned exp at
+1327 Gelem/s — ~1.7 fma-equivalents, a hardware
+transcendental) and compare+select+mul at 1475 Gelem/s):
   MXU  197 TFLOP/s bf16   (f32-via-HIGHEST ~ 1/6 of that in passes)
-  VPU  ~3.9 TFLOP/s f32 (estimate)
+  VPU  4.43 TFLOP/s f32 (measured)
   HBM  819 GB/s
 """
 
@@ -24,7 +27,7 @@ from __future__ import annotations
 
 V5E_MXU_BF16_PEAK = 197e12
 V5E_MXU_F32_HIGHEST_PEAK = 197e12 / 6.0   # 3+3-pass bf16 emulation of f32
-V5E_VPU_F32_PEAK = 3.9e12                 # architectural estimate
+V5E_VPU_F32_PEAK = 4.43e12                # measured (scripts/vpu_peak.py)
 V5E_HBM_BYTES_PER_S = 819e9
 
 
@@ -108,10 +111,11 @@ def utilization(model: dict, step_seconds: float) -> dict:
         "mxu_pct_of_f32_highest_peak": round(
             100 * mxu_rate / V5E_MXU_F32_HIGHEST_PEAK, 2),
         "vpu_tflops_achieved": round(vpu_rate / 1e12, 2),
-        "vpu_pct_of_peak_est": round(100 * vpu_rate / V5E_VPU_F32_PEAK, 2),
+        "vpu_pct_of_peak_measured": round(100 * vpu_rate / V5E_VPU_F32_PEAK, 2),
         "hbm_gb_per_s_achieved": round(hbm_rate / 1e9, 2),
         "hbm_pct_of_peak": round(100 * hbm_rate / V5E_HBM_BYTES_PER_S, 2),
         "note": ("algorithmic work only (no HIGHEST pass multiplier, no "
                  "padding/termination slack); peaks: 197 TF bf16 MXU, "
-                 "~3.9 TF f32 VPU (estimate), 819 GB/s HBM (v5e)"),
+                 "4.43 TF f32 VPU (measured, scripts/vpu_peak.py), "
+                 "819 GB/s HBM (v5e)"),
     }
