@@ -94,7 +94,7 @@ def main():
         "total_wall_s": round(wall, 1),
         "distinct_devices": sorted(set(devs)),
         "all_gates_green": all(g["trained"] and g["mesh"]
-                               and (g["psnr"] or 0) > 15 for g in
+                               and (g["psnr"] or 0) > 12 for g in
                                gates.values()),
         "per_scene": gates,
         "mean_psnr": res.get("mean_psnr"),
