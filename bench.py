@@ -75,6 +75,12 @@ def main():
                          "the synthetic one: a logdir config.yaml whose "
                          "latest PLY + scene cameras replace the preset's "
                          "cloud (VERDICT r3 next #5 reconciliation)")
+    ap.add_argument("--staged_cams", action="store_true",
+                    help="cycle cameras through the trainer's device "
+                         "camera cache (compact residency + on-device "
+                         "decode per superstep) instead of pre-staging "
+                         "f32 batches — the REAL training loop's staging "
+                         "path (r4 VERDICT missing #2)")
     args = ap.parse_args()
     P = PRESETS[args.preset]
     n_gauss, cap = P["n_gaussians"], P["capacity"]
@@ -121,7 +127,8 @@ def main():
                                resolution=tcfg.model.resolution)
         c0 = info.train_cameras[0]
         width, height = c0.width, c0.height
-        cams = [c.arrays() for c in info.train_cameras[:8]]
+        cam_objs = info.train_cameras[:8]
+        cams = [c.arrays() for c in cam_objs]
         population = f"trained {ply} ({n_gauss} gaussians)"
         print(f"trained population: {n_gauss} gaussians, cap {cap}, "
               f"{width}x{height}, tile {K.TILE}", file=sys.stderr)
@@ -140,18 +147,19 @@ def main():
                 log_scale=state.params.log_scale
                 + np.float32(np.log(P["scale_mult"]))))
 
-        cams = []
+        cam_objs = []
         for i in range(8):
             ang = 2 * np.pi * i / 8
             img = rng.uniform(0, 1, (3, height, width)).astype(np.float32)
             nrm = rng.normal(size=(3, height, width)).astype(np.float32)
             nrm /= np.linalg.norm(nrm, axis=0, keepdims=True)
-            cams.append(Camera(
+            cam_objs.append(Camera(
                 colmap_id=i, idx=i, image_name=f"b{i}",
                 R=np.eye(3), T=np.array([0.3 * np.cos(ang),
                                          0.3 * np.sin(ang), 0.0]),
                 fovx=0.9, fovy=0.7, width=width, height=height,
-                image=img, normal=nrm).arrays())
+                image=img, normal=nrm))
+        cams = [c.arrays() for c in cam_objs]
 
     # pre-stage cameras on device: steady-state training overlaps the
     # host->device image transfer with compute (and the tunnel inflates
@@ -198,26 +206,56 @@ def main():
     bgs = jnp.zeros((k, 3))
     lrs = jnp.full((k,), 1.6e-4, jnp.float32)
 
-    def batch(s):
-        # the s-th superstep's camera stack (cycling the 8-camera pool)
-        return jax.tree.map(
-            lambda *xs: jnp.stack(xs),
-            *[cams[(s * k + j) % 8] for j in range(k)])
+    if args.staged_cams:
+        # the REAL loop's staging: compact camera pytrees resident on
+        # device (trainer._DeviceCamCache), stacked + decoded ON DEVICE
+        # per superstep (trainer._decode_stack). After the first epoch the
+        # pool is cache-resident, so steady state measures the on-device
+        # decode + stack — the cost real training pays every superstep
+        # that the pre-staged mode hides (r4 VERDICT missing #2).
+        from vcr_gaus_tpu.data.cameras import decode_arrays
+        from vcr_gaus_tpu.train.trainer import _DeviceCamCache
+        cache = _DeviceCamCache(cam_objs, 2048 << 20)
 
-    # cover the pool's phases; fewer distinct stacks at protocol scale
-    # (each (k,3,H,W) image stack is ~230 MB at 1600x1200)
-    n_batches = 8 if args.preset == "dev" else 4
-    batches = [batch(s) for s in range(n_batches)]
+        @jax.jit
+        def _decode(*cs):
+            return jax.tree.map(lambda *xs: jnp.stack(xs),
+                                *[decode_arrays(c) for c in cs])
+
+        def batch(s):
+            return _decode(*[cache.get((s * k + j) % 8) for j in range(k)])
+
+        n_batches = 8 if args.preset == "dev" else 4
+        batches = None
+    else:
+        def batch(s):
+            # the s-th superstep's camera stack (cycling the 8-camera pool)
+            return jax.tree.map(
+                lambda *xs: jnp.stack(xs),
+                *[cams[(s * k + j) % 8] for j in range(k)])
+
+        # cover the pool's phases; fewer distinct stacks at protocol scale
+        # (each (k,3,H,W) image stack is ~230 MB at 1600x1200)
+        n_batches = 8 if args.preset == "dev" else 4
+        batches = [batch(s) for s in range(n_batches)]
+
+    def get_batch(s):
+        s = s % n_batches
+        return batch(s) if batches is None else batches[s]
 
     # binning lookahead (the Trainer's steady-state loop): each superstep
-    # consumes the previous one's stacked binning and produces the next's
+    # consumes the previous one's stacked binning and produces the next's.
+    # The lookahead batch is carried (staged once, used twice) exactly like
+    # trainer._train_superstep's self._staged.
     bin_aux = None
+    cur = get_batch(0)
     for s in range(WARMUP):
-        state, net, losses, aux = step(state, net, batches[s % n_batches],
+        nxt = get_batch(s + 1)
+        state, net, losses, aux = step(state, net, cur,
                                        bgs, lrs, sh_degree=3, gates=gates,
-                                       bin_aux=bin_aux,
-                                       next_cams=batches[(s + 1) % n_batches])
+                                       bin_aux=bin_aux, next_cams=nxt)
         bin_aux = aux.pop("next_bin_aux")
+        cur = nxt
     # NB block_until_ready does not synchronize on tunneled backends; a
     # scalar device->host fetch is the only reliable fence.
     _ = float(losses["total"])
@@ -226,12 +264,13 @@ def main():
         peak_entries = int(aux["num_entries"])
 
     t0 = time.time()
-    for s in range(args.iters):
-        state, net, losses, aux = step(state, net, batches[s % n_batches],
+    for s in range(WARMUP, WARMUP + args.iters):
+        nxt = get_batch(s + 1)
+        state, net, losses, aux = step(state, net, cur,
                                        bgs, lrs, sh_degree=3, gates=gates,
-                                       bin_aux=bin_aux,
-                                       next_cams=batches[(s + 1) % n_batches])
+                                       bin_aux=bin_aux, next_cams=nxt)
         bin_aux = aux.pop("next_bin_aux")
+        cur = nxt
     _ = float(losses["total"])
     dt = (time.time() - t0) / (args.iters * k)
     its = 1.0 / dt
@@ -269,6 +308,7 @@ def main():
         # default, trainer.make_multi_train_step)
         "steps_per_call": k,
         "preset": args.preset,
+        "staged_cams": bool(args.staged_cams),
         "population": population,
         "n_gaussians": n_gauss,
         "capacity": cap,

@@ -634,6 +634,34 @@ class Trainer:
             # gates on cfg.optim.mask_depth_thr > 0)
             mask_depth_thr=float(cfg.optim.mask_depth_thr),
             max_sh_degree=cfg.model.sh_degree)
+        # Initial entry budget: PROBE the scene's real demand instead of
+        # trusting factor*capacity. Every E-wide stage (sort, gathers,
+        # segment-sum) runs at the budget's STATIC shape, so a capacity-
+        # sized budget under an oversized tpu.capacity made the whole
+        # early run pay protocol-scale sorts for a 150k-entry scene
+        # (measured ~6.7 s/superstep at 150k gaussians / capacity 2^20,
+        # r5 camcache A/B) until the right-sizer's first 200-iter window.
+        # num_entries is pre-truncation, so a tiny probe budget suffices;
+        # headroom 1.5x (densify growth is handled by overflow 2x-growth
+        # and by the right-sizer, same as before).
+        if bool(cfg.tpu.get("probe_entry_budget", True)):
+            from ..render.renderer import compute_camera_binning
+            probe_rcfg = self.rcfg._replace(entry_budget=1 << 14)
+            probe = jax.jit(lambda st, c: compute_camera_binning(
+                st, c, probe_rcfg).binn.num_entries)
+            n_cams = len(info.train_cameras)
+            idxs = np.unique(np.linspace(0, n_cams - 1,
+                                         min(8, n_cams)).astype(int))
+            peak = max(int(probe(self.state, jax.tree.map(
+                jnp.asarray, info.train_cameras[i].arrays(pixels=False))))
+                for i in idxs)
+            q = 1 << 16
+            probed = max(q, -(-(peak * 3 // 2) // q) * q)
+            budget = min(self.rcfg.entry_budget, probed)
+            print(f"[entry budget] probe: peak {peak} over {len(idxs)} "
+                  f"cams -> initial {budget} (capacity-sized "
+                  f"{self.rcfg.entry_budget})", flush=True)
+            self.rcfg = self.rcfg._replace(entry_budget=budget)
 
         # side networks
         rng = jax.random.PRNGKey(cfg.seed)
@@ -1386,10 +1414,15 @@ class Trainer:
         print(f"[capacity] {cap} -> {new_cap} (densify dropped {dropped})",
               flush=True)
         self.state = GM.expand_capacity(self.state, new_cap)
-        budget = max(self.rcfg.entry_budget,
-                     1 << (new_cap * self.cfg.tpu.entry_budget_factor - 1)
-                     .bit_length())
-        self._set_entry_budget(budget)
+        if not bool(self.cfg.tpu.get("probe_entry_budget", True)):
+            # legacy sizing only: re-inflating to factor*new_cap here
+            # would undo the startup probe — entry demand tracks the
+            # POPULATION, and the overflow 2x-growth + right-sizer adapt
+            # the budget to it regardless of capacity
+            budget = max(self.rcfg.entry_budget,
+                         1 << (new_cap * self.cfg.tpu.entry_budget_factor
+                               - 1).bit_length())
+            self._set_entry_budget(budget)
 
     def _grow_entry_budget(self):
         self._set_entry_budget(self.rcfg.entry_budget * 2)
