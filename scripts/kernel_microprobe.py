@@ -37,6 +37,7 @@ F_PAD = 24
 N_TILES = 1900            # protocol tile count (50 x 38)
 CHUNKS = 6                # ~ protocol mean entries/tile (3.42M/1900/256)
 C_ACC = 6
+OUT_PAD = 16           # lane-dim multiple of 8 (Mosaic block alignment)
 REPS = 5
 
 
@@ -158,14 +159,16 @@ def main():
             return 0
 
         jax.lax.fori_loop(0, nchunks, body, 0)
-        out_ref[0] = acc_ref[:]
+        out_ref[0] = jnp.concatenate(
+            [acc_ref[:], jnp.zeros((P, OUT_PAD - 4 - C_ACC), jnp.float32)],
+            axis=1)
 
     def build(**toggles):
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=(N_TILES,),
             in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
-            out_specs=pl.BlockSpec((1, P, 4 + C_ACC), lambda t, *_: (t, 0, 0),
+            out_specs=pl.BlockSpec((1, P, OUT_PAD), lambda t, *_: (t, 0, 0),
                                    memory_space=pltpu.VMEM),
             scratch_shapes=[
                 pltpu.VMEM((2, F_PAD, G), jnp.float32),
@@ -176,7 +179,7 @@ def main():
         kfn = functools.partial(kernel, **toggles)
         call = pl.pallas_call(
             kfn, grid_spec=grid_spec,
-            out_shape=jax.ShapeDtypeStruct((N_TILES, P, 4 + C_ACC),
+            out_shape=jax.ShapeDtypeStruct((N_TILES, P, OUT_PAD),
                                            jnp.float32),
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=96 * 1024 * 1024),
@@ -201,7 +204,13 @@ def main():
         "dma_only": dict(use_depth=False, use_tri=False, use_dacc=False,
                          use_exp=False, use_alpha=False),
     }
-    fns = {name: build(**tg) for name, tg in VARIANTS.items()}
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--variants", default=",".join(VARIANTS),
+                    help="comma list (crash bisection: one per process)")
+    args = ap.parse_args()
+    sel = [v for v in args.variants.split(",") if v]
+    fns = {name: build(**VARIANTS[name]) for name in sel}
     res = {"shape": f"{N_TILES} tiles x {CHUNKS} chunks x G{G} P{P}",
            "n_chunks": N_TILES * CHUNKS, "date": "2026-08-20"}
     # compile all first, then interleave timing
@@ -214,7 +223,7 @@ def main():
             dt = time.time() - t0
             res.setdefault(name, []).append(round(dt * 1e3, 2))
     summary = {}
-    for name in VARIANTS:
+    for name in sel:
         best = min(res[name])
         summary[name] = {"ms": best,
                          "us_per_chunk": round(best * 1e3
