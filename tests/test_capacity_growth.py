@@ -74,7 +74,12 @@ def test_trainer_shrinks_oversized_budget(tmp_path):
     c.tpu.overflow_check_interval = 1
     tr = Trainer(c)
     tr._set_entry_budget(1 << 18)          # grossly oversized for this scene
-    tr._entries_window = 198               # window closes on the 2nd step
+    tr._entries_window = 198
+    # overflow/right-size reads are DEFERRED one interval (the host reacts
+    # to the previous interval's snapshot so the fetch never drains the
+    # dispatch pipeline): step 1 stashes, step 2 reacts (window 199),
+    # step 3 reacts to step 2's snapshot and closes the window at 200
+    tr.train_step()
     tr.train_step()
     tr.train_step()
     # tiny scene: peak entries << 64k, so the budget lands on the 64k floor

@@ -747,6 +747,7 @@ class Trainer:
         self._ne_dev = None
         self._ovf_snapshot = None      # deferred-read window (see
         self._pending_log = None       # _maybe_react_overflow / train)
+        self._pending_dropped = None   # deferred densify drop count
         self._tb = _make_tb_writer(cfg.logdir)
         # remote viewer bridge (cfg.port > 0, trainer.py:64-65; unlike the
         # reference — which only wires init — the pump runs, see _gui_pump)
@@ -1122,7 +1123,10 @@ class Trainer:
             return
         ovf_dev, ne_dev, advance = prev
         with self._prof("sync_overflow_fetch"):
-            ovf = bool(ovf_dev)
+            # one round-trip for both values (separate bool()/int() fetches
+            # cost a tunnel RTT each)
+            ovf, peak = jax.device_get((ovf_dev, ne_dev))
+            ovf = bool(ovf)
         if ovf:
             self._grow_entry_budget()
             self._invalidate_binning()
@@ -1142,9 +1146,7 @@ class Trainer:
             # run). Growth on overflow stays 2x; with >=1.25x headroom
             # over a full 200-step window's peak, oscillation requires
             # the scene's true entry demand to swing >25% per window
-            with self._prof("sync_overflow_fetch"):
-                peak = int(ne_dev)
-            self._entries_peak = max(self._entries_peak, peak)
+            self._entries_peak = max(self._entries_peak, int(peak))
             self._entries_window += advance
             if self._entries_window >= 200:
                 q = 1 << 16
@@ -1166,11 +1168,24 @@ class Trainer:
             if it > o.densify_from_iter and it % o.densification_interval == 0:
                 size_thr = 20 if it > o.opacity_reset_interval else None
                 box_mask = self._box_densify_mask()
+                # deferred drop check (same pattern as the overflow
+                # snapshot): fetching `dropped` right after dispatching the
+                # densify program drains the pipeline (~1.9 s/densify
+                # measured in the r5 rehearsal). React to the PREVIOUS
+                # densify's count instead — capacity growth only helps
+                # FUTURE densifies either way (this event's overflowing
+                # splats are dropped in both orderings), so the semantics
+                # are one-event-lagged, not weakened.
+                prev_dropped = self._pending_dropped
                 self.state, dropped = self._densify_fn(
                     self.state, box_mask=box_mask, max_screen_size=size_thr)
+                self._pending_dropped = dropped
                 self._invalidate_binning()
-                if int(dropped) > 0:
-                    self._grow_capacity(int(dropped))
+                if prev_dropped is not None and int(prev_dropped) > 0:
+                    self._grow_capacity(int(prev_dropped))
+                    self._pending_dropped = None  # capacity changed: the
+                    # in-flight count predates the grow; reacting to it
+                    # would double-grow
             if it % o.opacity_reset_interval == 0 or (
                     self.cfg.model.white_background
                     and it == o.densify_from_iter):
@@ -1240,9 +1255,14 @@ class Trainer:
             return
         it, losses, aux, t_rel = entry
         with self._prof("sync_log_fetch"):
-            rec = {k: float(v) for k, v in losses.items()}
-            rec.update(iter=it, n_active=int(aux["n_active"]),
-                       overflow=bool(aux["overflow"]), time=t_rel)
+            # ONE device_get for the whole record: per-value float()/int()
+            # fetches are one tunnel round-trip EACH (~9 RTTs = 195 ms per
+            # boundary measured in the r5 warm rehearsal)
+            lv, na, ov = jax.device_get((losses, aux["n_active"],
+                                         aux["overflow"]))
+            rec = {k: float(v) for k, v in lv.items()}
+            rec.update(iter=it, n_active=int(na), overflow=bool(ov),
+                       time=t_rel)
         with self._prof("log_write"):
             self.history.append(rec)
             self._log_scalars(rec)
