@@ -58,11 +58,12 @@ def main():
     counts = jnp.asarray(np.full(N_TILES, CHUNKS * G, np.int32))
 
     def kernel(starts_ref, counts_ref, feats_ref, out_ref, buf, acc_ref,
-               sems, *, use_depth, use_tri, use_dacc, use_exp, use_alpha):
+               sems, *, use_depth, use_tri, use_dacc, use_exp, use_alpha,
+               depth=2, Gc=G):
         t = pl.program_id(0)
         start = pl.multiple_of(starts_ref[t], 128)
         n = counts_ref[t]
-        nchunks = (n + G - 1) // G
+        nchunks = (n + Gc - 1) // Gc
         pix = jax.lax.broadcasted_iota(jnp.int32, (P, 1), 0)
         px = (pix % TILE).astype(jnp.float32)
         py = (pix // TILE).astype(jnp.float32)
@@ -72,18 +73,22 @@ def main():
 
         def get_dma(slot, k):
             return pltpu.make_async_copy(
-                feats_ref.at[:, pl.ds(start + k * G, G)], buf.at[slot],
+                feats_ref.at[:, pl.ds(start + k * Gc, Gc)], buf.at[slot],
                 sems.at[slot])
 
-        get_dma(0, 0).start()
+        # prefetch depth: keep up to `depth` chunk DMAs outstanding
+        for j in range(depth - 1):
+            @pl.when(j < nchunks)
+            def _(j=j):
+                get_dma(j % depth, j).start()
         acc_ref[:] = jnp.zeros((P, 4 + C_ACC), jnp.float32)
 
         def body(k, _):
-            slot = k % 2
+            slot = k % depth
 
-            @pl.when(k + 1 < nchunks)
+            @pl.when(k + depth - 1 < nchunks)
             def _():
-                get_dma((k + 1) % 2, k + 1).start()
+                get_dma((k + depth - 1) % depth, k + depth - 1).start()
             get_dma(slot, k).wait()
             f = buf[slot]
             mean_x, mean_y = f[0:1, :], f[1:2, :]
@@ -96,12 +101,14 @@ def main():
                     alpha_raw = op * jnp.exp(power)
                 else:
                     alpha_raw = op * (1.0 + power * 0.01)
-                lane = jax.lax.broadcasted_iota(jnp.int32, (1, G), 1)
+                lane = jax.lax.broadcasted_iota(jnp.int32, (1, Gc), 1)
                 live = (power <= 0.0) & (alpha_raw >= 1.0 / 255.0) & (
-                    lane < n - k * G)
+                    lane < n - k * Gc)
                 alpha = jnp.where(live, jnp.minimum(alpha_raw, 0.99), 0.0)
             else:
-                alpha = jnp.broadcast_to(op * 0.001, (P, G))
+                alpha = (px * 0.0 + op) * 0.001   # (P,Gc) via arithmetic
+                # broadcast: an explicit broadcast_to from the (1,Gc) row
+                # crashed Mosaic ("limits 128 vs dim 1")
             if use_exp and use_alpha:
                 lg = jnp.log1p(-alpha)
             else:
@@ -109,7 +116,7 @@ def main():
             if use_tri:
                 parts = []
                 carry = None
-                for b in range(G // 128):
+                for b in range(Gc // 128):
                     xb = lg[:, b * 128:(b + 1) * 128]
                     cb = jax.lax.dot_general(
                         xb, ut, (((1,), (0,)), ((), ())),
@@ -147,12 +154,12 @@ def main():
                 denom = jnp.where(clamped, 1e-2, denom_raw)
                 d = dz / denom
             else:
-                d = jnp.broadcast_to(f[6:7, :], (P, G))
+                d = px * 0.0 + f[6:7, :]
             wd = w * d
             prev = acc_ref[:]
             acc_ref[:] = jnp.concatenate(
                 [prev[:, 0:1] * 0.99,
-                 prev[:, 1:2] + csum[:, G - 1:G],
+                 prev[:, 1:2] + csum[:, Gc - 1:Gc],
                  prev[:, 2:3] + jnp.sum(wd, axis=1, keepdims=True),
                  prev[:, 3:4] + jnp.sum(wd * d, axis=1, keepdims=True),
                  prev[:, 4:] + dacc], axis=1)
@@ -164,6 +171,8 @@ def main():
             axis=1)
 
     def build(**toggles):
+        depth = toggles.get("depth", 2)
+        Gc = toggles.get("Gc", G)
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=(N_TILES,),
@@ -171,9 +180,9 @@ def main():
             out_specs=pl.BlockSpec((1, P, OUT_PAD), lambda t, *_: (t, 0, 0),
                                    memory_space=pltpu.VMEM),
             scratch_shapes=[
-                pltpu.VMEM((2, F_PAD, G), jnp.float32),
+                pltpu.VMEM((depth, F_PAD, Gc), jnp.float32),
                 pltpu.VMEM((P, 4 + C_ACC), jnp.float32),
-                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((depth,)),
             ],
         )
         kfn = functools.partial(kernel, **toggles)
@@ -203,6 +212,19 @@ def main():
                        use_exp=False, use_alpha=True),
         "dma_only": dict(use_depth=False, use_tri=False, use_dacc=False,
                          use_exp=False, use_alpha=False),
+        # prefetch depth: if the ~6.5us/chunk floor is DMA-latency bound,
+        # deeper outstanding-copy windows should collapse it
+        "full_d4": dict(use_depth=True, use_tri=True, use_dacc=True,
+                        use_exp=True, use_alpha=True, depth=4),
+        "full_d6": dict(use_depth=True, use_tri=True, use_dacc=True,
+                        use_exp=True, use_alpha=True, depth=6),
+        # chunk size: halves/doubles the chunk count at fixed E
+        "full_g512": dict(use_depth=True, use_tri=True, use_dacc=True,
+                          use_exp=True, use_alpha=True, Gc=512),
+        "full_g128": dict(use_depth=True, use_tri=True, use_dacc=True,
+                          use_exp=True, use_alpha=True, Gc=128),
+        "full_d4_g512": dict(use_depth=True, use_tri=True, use_dacc=True,
+                             use_exp=True, use_alpha=True, depth=4, Gc=512),
     }
     import argparse
     ap = argparse.ArgumentParser()
@@ -225,9 +247,10 @@ def main():
     summary = {}
     for name in sel:
         best = min(res[name])
-        summary[name] = {"ms": best,
-                         "us_per_chunk": round(best * 1e3
-                                               / (N_TILES * CHUNKS), 3)}
+        gc = VARIANTS[name].get("Gc", G)
+        nch = N_TILES * (CHUNKS * G // gc)
+        summary[name] = {"ms": best, "n_chunks": nch,
+                         "us_per_chunk": round(best * 1e3 / nch, 3)}
     res["summary"] = summary
     print(json.dumps(summary, indent=1))
     with open(os.path.join(REPO, "artifacts_r05", "kernel_microprobe.json"),

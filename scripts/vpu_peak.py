@@ -95,6 +95,20 @@ def main():
                                 for u, v in rows.items()}
     res["fma_tflops"] = round(res["fma_gops_s"] * 2 / 1e3, 3)  # 2 flop/fma
 
+    # bf16 fma rate: does the v5e VPU pack 2x bf16? (if yes, the kernel's
+    # (P,G) alpha chain could run ~2x faster in bf16 with f32 log-sums)
+    xb = x0.astype(jnp.bfloat16)
+    rows = {}
+    for u in (32, 128):
+        fn = jax.jit(lambda x, u=u: _chain(
+            x, u, lambda y: y * jnp.bfloat16(0.999) + jnp.bfloat16(1e-4)))
+        dt, _ = timed(fn, xb)
+        rows[u] = dt
+    d_ops = (128 - 32) * n * K2
+    res["fma_bf16_gops_s"] = round(
+        d_ops / max(rows[128] - rows[32], 1e-9) / 1e9, 1)
+    res["fma_bf16_dt_ms"] = {u: round(v * 1e3, 2) for u, v in rows.items()}
+
     # the kernel's alpha block at its true shape: P=1024 (tile 32), G=256
     P, G = 1024, 256
     rng = np.random.default_rng(1)

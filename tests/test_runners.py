@@ -124,7 +124,7 @@ def test_run_scannetpp_in_process_scene_dp(tmp_path):
          "--model.llffhold=3",   # fixture has no meta split lists
          "--optim.densify_from_iter=1000", "--train.test_iterations=[]",
          "--train.save_iterations=[40]"],
-        env=env, capture_output=True, text=True, cwd=REPO, timeout=900)
+        env=env, capture_output=True, text=True, cwd=REPO, timeout=1800)
     assert r.returncode == 0, f"{r.stdout[-3000:]}\n{r.stderr[-2000:]}"
 
     # both scenes trained, on two DISTINCT devices of the virtual mesh
