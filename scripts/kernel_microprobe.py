@@ -59,7 +59,7 @@ def main():
 
     def kernel(starts_ref, counts_ref, feats_ref, out_ref, buf, acc_ref,
                sems, *, use_depth, use_tri, use_dacc, use_exp, use_alpha,
-               depth=2, Gc=G):
+               depth=2, Gc=G, unroll=1):
         t = pl.program_id(0)
         start = pl.multiple_of(starts_ref[t], 128)
         n = counts_ref[t]
@@ -165,7 +165,7 @@ def main():
                  prev[:, 4:] + dacc], axis=1)
             return 0
 
-        jax.lax.fori_loop(0, nchunks, body, 0)
+        jax.lax.fori_loop(0, nchunks, body, 0, unroll=unroll)
         out_ref[0] = jnp.concatenate(
             [acc_ref[:], jnp.zeros((P, OUT_PAD - 4 - C_ACC), jnp.float32)],
             axis=1)
@@ -173,6 +173,7 @@ def main():
     def build(**toggles):
         depth = toggles.get("depth", 2)
         Gc = toggles.get("Gc", G)
+        toggles.setdefault("unroll", 1)
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=(N_TILES,),
@@ -225,6 +226,14 @@ def main():
                           use_exp=True, use_alpha=True, Gc=128),
         "full_d4_g512": dict(use_depth=True, use_tri=True, use_dacc=True,
                              use_exp=True, use_alpha=True, depth=4, Gc=512),
+        # loop-machinery isolation: unroll the chunk fori_loop (the ~2us/
+        # chunk fixed cost candidate vs acc-RMW vs DMA wait)
+        "full_u3": dict(use_depth=True, use_tri=True, use_dacc=True,
+                        use_exp=True, use_alpha=True, unroll=3),
+        "full_u6": dict(use_depth=True, use_tri=True, use_dacc=True,
+                        use_exp=True, use_alpha=True, unroll=6),
+        "dma_u6": dict(use_depth=False, use_tri=False, use_dacc=False,
+                       use_exp=False, use_alpha=False, unroll=6),
     }
     import argparse
     ap = argparse.ArgumentParser()

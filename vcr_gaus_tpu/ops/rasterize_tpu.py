@@ -704,21 +704,27 @@ def _bwd_kernel(starts_ref, counts_ref, cam_ref, feats_ref, gout_ref,
                 dpw = jnp.where(ex["capped"], 0.0, dalpha * alpha)  # d power
 
                 # ---- reduce to per-entry rows (1, G) ----
+                # share the per-pair products across the six geometry
+                # reductions (the kernel is VPU-op-bound, §7.1c): u1/u2
+                # feed both the mean grads and their |.| densify stats;
+                # t1/t2 feed all three conic grads with the -0.5/-1
+                # constants folded into the reduced (1, G) rows
                 gxa = ex["A"] * ex["dx"] + ex["B"] * ex["dy"]
                 gya = ex["C"] * ex["dy"] + ex["B"] * ex["dx"]
-                g_meanx = jnp.sum(dpw * gxa, axis=0, keepdims=True)
-                g_meany = jnp.sum(dpw * gya, axis=0, keepdims=True)
-                g_absx = jnp.sum(jnp.abs(dpw * gxa), axis=0, keepdims=True)
-                g_absy = jnp.sum(jnp.abs(dpw * gya), axis=0, keepdims=True)
-                g_ca = jnp.sum(dpw * (-0.5) * ex["dx"] * ex["dx"], axis=0,
-                               keepdims=True)
-                g_cb = jnp.sum(dpw * (-1.0) * ex["dx"] * ex["dy"], axis=0,
-                               keepdims=True)
-                g_cc = jnp.sum(dpw * (-0.5) * ex["dy"] * ex["dy"], axis=0,
-                               keepdims=True)
+                u1 = dpw * gxa
+                u2 = dpw * gya
+                g_meanx = jnp.sum(u1, axis=0, keepdims=True)
+                g_meany = jnp.sum(u2, axis=0, keepdims=True)
+                g_absx = jnp.sum(jnp.abs(u1), axis=0, keepdims=True)
+                g_absy = jnp.sum(jnp.abs(u2), axis=0, keepdims=True)
+                t1 = dpw * ex["dx"]
+                t2 = dpw * ex["dy"]
+                g_ca = -0.5 * jnp.sum(t1 * ex["dx"], axis=0, keepdims=True)
+                g_cb = -jnp.sum(t1 * ex["dy"], axis=0, keepdims=True)
+                g_cc = -0.5 * jnp.sum(t2 * ex["dy"], axis=0, keepdims=True)
                 op_safe = jnp.maximum(ex["op"], 1e-12)
-                g_op = jnp.sum(jnp.where(ex["capped"], 0.0, dalpha * alpha),
-                               axis=0, keepdims=True) / op_safe
+                # dpw IS where(capped, 0, dalpha*alpha) — reuse it
+                g_op = jnp.sum(dpw, axis=0, keepdims=True) / op_safe
 
                 # feature grads (c_acc, G): sum_p w * g_acc
                 gfeat_acc = jax.lax.dot_general(
