@@ -165,7 +165,22 @@ def main():
                  prev[:, 4:] + dacc], axis=1)
             return 0
 
-        jax.lax.fori_loop(0, nchunks, body, 0, unroll=unroll)
+        if unroll == 1:
+            jax.lax.fori_loop(0, nchunks, body, 0)
+        else:
+            # fori_loop(unroll=) needs static bounds; emulate by stepping
+            # `unroll` guarded chunk bodies per dynamic loop iteration —
+            # same work, 1/unroll the loop-machinery overhead
+            def body_u(j, _):
+                for i in range(unroll):
+                    k = j * unroll + i
+
+                    @pl.when(k < nchunks)
+                    def _(k=k):
+                        body(k, 0)
+                return 0
+            jax.lax.fori_loop(0, (nchunks + unroll - 1) // unroll,
+                              body_u, 0)
         out_ref[0] = jnp.concatenate(
             [acc_ref[:], jnp.zeros((P, OUT_PAD - 4 - C_ACC), jnp.float32)],
             axis=1)
