@@ -645,23 +645,8 @@ class Trainer:
         # headroom 1.5x (densify growth is handled by overflow 2x-growth
         # and by the right-sizer, same as before).
         if bool(cfg.tpu.get("probe_entry_budget", True)):
-            from ..render.renderer import compute_camera_binning
-            probe_rcfg = self.rcfg._replace(entry_budget=1 << 14)
-            probe = jax.jit(lambda st, c: compute_camera_binning(
-                st, c, probe_rcfg).binn.num_entries)
-            n_cams = len(info.train_cameras)
-            idxs = np.unique(np.linspace(0, n_cams - 1,
-                                         min(8, n_cams)).astype(int))
-            peak = max(int(probe(self.state, jax.tree.map(
-                jnp.asarray, info.train_cameras[i].arrays(pixels=False))))
-                for i in idxs)
-            q = 1 << 16
-            probed = max(q, -(-(peak * 3 // 2) // q) * q)
-            budget = min(self.rcfg.entry_budget, probed)
-            print(f"[entry budget] probe: peak {peak} over {len(idxs)} "
-                  f"cams -> initial {budget} (capacity-sized "
-                  f"{self.rcfg.entry_budget})", flush=True)
-            self.rcfg = self.rcfg._replace(entry_budget=budget)
+            self.rcfg = self.rcfg._replace(
+                entry_budget=self._probe_entry_budget())
 
         # side networks
         rng = jax.random.PRNGKey(cfg.seed)
@@ -771,6 +756,42 @@ class Trainer:
         if start_ckpt:
             self.restore_checkpoint(start_ckpt)
             print(f"resumed from {start_ckpt} at iteration {self.iteration}")
+            if bool(cfg.tpu.get("probe_entry_budget", True)):
+                # the __init__ probe saw the init cloud; a restored model
+                # can demand far more entries — re-probe (grow-only: the
+                # restored population's demand never shrinks the budget
+                # below what the run already right-sized)
+                self._set_entry_budget(max(self.rcfg.entry_budget,
+                                           self._probe_entry_budget()))
+
+    def _probe_entry_budget(self) -> int:
+        """Initial entry budget from a REAL binning probe over <=8 spread
+        cameras: peak pre-truncation entry demand x1.5 headroom,
+        64k-quantized, capped by the legacy factor*capacity sizing. A
+        capacity-sized budget under an oversized tpu.capacity makes every
+        E-wide stage (sort/gather/segment-sum) run static shapes up to
+        ~50x the scene's true entry count until the right-sizer's first
+        200-iter window (~6.7 s/superstep measured at 150k gaussians /
+        capacity 2^20, r5 camcache A/B). Densify growth is handled by the
+        overflow 2x-growth + right-sizer, unchanged."""
+        from ..render.renderer import compute_camera_binning
+        probe_rcfg = self.rcfg._replace(entry_budget=1 << 14)
+        probe = jax.jit(lambda st, c: compute_camera_binning(
+            st, c, probe_rcfg).binn.num_entries)
+        cams = self.scene.train_cameras
+        idxs = np.unique(np.linspace(0, len(cams) - 1,
+                                     min(8, len(cams))).astype(int))
+        peak = max(int(probe(self.state, jax.tree.map(
+            jnp.asarray, cams[i].arrays(pixels=False)))) for i in idxs)
+        q = 1 << 16
+        probed = max(q, -(-(peak * 3 // 2) // q) * q)
+        cap_budget = max(1 << 14,
+                         self.cfg.tpu.entry_budget_factor
+                         * self.state.capacity)
+        budget = min(cap_budget, probed)
+        print(f"[entry budget] probe: peak {peak} over {len(idxs)} cams "
+              f"-> {budget} (capacity-sized {cap_budget})", flush=True)
+        return budget
 
     # -- schedule helpers --------------------------------------------------
 
