@@ -55,6 +55,39 @@ def test_trainer_grows_on_overflow(tmp_path):
         assert tr.rcfg.entry_budget > b0
 
 
+def test_startup_entry_budget_probe(tmp_path):
+    """The initial entry budget comes from a real binning probe (1.5x the
+    peak pre-truncation demand, 64k floor) instead of factor*capacity —
+    an oversized tpu.capacity must NOT inflate the E-wide static shapes
+    (r5: capacity-sized budgets ran protocol-scale sorts on a 150k-entry
+    scene). probe_entry_budget=false restores legacy sizing."""
+    import sys
+    sys.path.insert(0, "tests")
+    from fixtures import write_colmap_scene
+    from vcr_gaus_tpu.config import Config
+    from vcr_gaus_tpu.train.trainer import Trainer
+    root = str(tmp_path / "scene")
+    write_colmap_scene(root, n_cams=4, n_pts=100, width=64, height=48)
+
+    def make(probe):
+        c = Config("configs/config_base.yaml")
+        c.logdir = str(tmp_path / f"log_{probe}")
+        c.model.source_path = root
+        c.model.resolution = 1
+        c.model.depth_type = "traditional"
+        c.tpu.capacity = 1 << 15          # grossly oversized for 100 pts
+        c.tpu.probe_entry_budget = probe
+        return Trainer(c)
+
+    tr = make(True)
+    assert tr.rcfg.entry_budget == (1 << 16)        # 64k floor
+    legacy = make(False)
+    assert legacy.rcfg.entry_budget == 8 * (1 << 15)  # factor*capacity
+    # the probed budget still trains (overflow growth covers underestimates)
+    losses, aux = tr.train_step()
+    assert not bool(aux["overflow"])
+
+
 def test_trainer_shrinks_oversized_budget(tmp_path):
     """Entry-budget right-sizing: a sustained window re-pins the budget to
     the observed peak + 25% headroom, quantized to 64k slots (floor 64k)."""
