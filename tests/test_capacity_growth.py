@@ -105,7 +105,8 @@ def test_trainer_shrinks_oversized_budget(tmp_path):
     c.model.depth_type = "traditional"
     c.tpu.capacity = 256
     c.tpu.overflow_check_interval = 1
-    tr = Trainer(c)
+    c.optim.densify_until_iter = 0      # shrink is gated off while the
+    tr = Trainer(c)                     # densify window still grows demand
     tr._set_entry_budget(1 << 18)          # grossly oversized for this scene
     tr._entries_window = 198
     # overflow/right-size reads are DEFERRED one interval (the host reacts

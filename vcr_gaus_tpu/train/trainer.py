@@ -1172,7 +1172,14 @@ class Trainer:
             if self._entries_window >= 200:
                 q = 1 << 16
                 target = max(q, -(-(self._entries_peak * 5 // 4) // q) * q)
-                if target < self.rcfg.entry_budget:
+                # no shrinking while densification is still GROWING the
+                # population: demand trends up through the window, so a
+                # shrink is guaranteed churn (measured: 6 grow/shrink
+                # recompiles in 3000 iters at 1600x1200 while the
+                # population tripled — artifacts_r05/proto_loop_3000.log)
+                densifying = (self.iteration
+                              < self.cfg.optim.densify_until_iter)
+                if target < self.rcfg.entry_budget and not densifying:
                     self._set_entry_budget(target)
                     self._invalidate_binning()
                 self._entries_peak = 0
